@@ -1,0 +1,236 @@
+"""The SSD meta-architecture, TPU-style.
+
+Where the reference's `SSD` nn.Module mode-switches between loss and
+detections inside one `forward` (demonet/models/generalized_ssd.py:271-349),
+here the pieces are orthogonal pure functions around one flax module:
+
+  * `SSD` (flax module)      — extractor + head => {'cls_logits',
+                               'bbox_regression'} dense outputs.
+  * `preprocess`             — normalize + resize to the fixed input size
+                               (reference transform.py:89-226).
+  * `loss_fn` via losses.multibox_loss — training path
+                               (generalized_ssd.py:210-269, :326-339).
+  * `postprocess_detections` — decode, clip, per-class score filter + top-k,
+                               class-wise NMS, cap at detections_per_img,
+                               rescale to original sizes
+                               (generalized_ssd.py:351-397, transform.py:228-247).
+
+All post-processing is fixed-shape and on-device: detections come back as
+padded (B, detections_per_img) arrays with a validity mask instead of the
+reference's per-image Python lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from demonet_tpu.ops.boxes import clip_boxes_to_image, decode_boxes
+from demonet_tpu.ops.nms import nms_mask
+
+_NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDConfig:
+    """Static detector hyper-parameters (reference generalized_ssd.py:154-197)."""
+
+    size: Tuple[int, int]  # (H, W) fixed network input
+    num_classes: int
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    score_thresh: float = 0.01
+    nms_thresh: float = 0.45
+    detections_per_img: int = 200
+    iou_thresh: float = 0.5
+    topk_candidates: int = 400
+    positive_fraction: float = 0.25
+    box_coder_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+
+    @property
+    def neg_to_pos_ratio(self) -> float:
+        # generalized_ssd.py:197
+        return (1.0 - self.positive_fraction) / self.positive_fraction
+
+
+class SSD(nn.Module):
+    """extractor(images) -> multi-scale maps -> head -> dense predictions.
+
+    Output: {'cls_logits': (B, A, C), 'bbox_regression': (B, A, 4)} where A is
+    the total anchor count (static). The anchor array itself is a host-side
+    constant (models/anchors.py) — it is NOT part of the module.
+    """
+
+    extractor: nn.Module
+    head: nn.Module
+
+    def __call__(self, images: jnp.ndarray, train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        features = self.extractor(images, train=train)
+        return self.head(features, train=train)
+
+
+def preprocess(
+    images: jnp.ndarray,
+    config: SSDConfig,
+    resize: bool = True,
+) -> jnp.ndarray:
+    """Normalize (and optionally resize) a (B, H, W, 3) float [0,1] batch.
+
+    Matches reference GeneralizedRCNNTransform.normalize/resize
+    (transform.py:129-173) with fixed_size semantics: bilinear,
+    half-pixel centers (= torch align_corners=False).
+    """
+    mean = jnp.asarray(config.image_mean, images.dtype)
+    std = jnp.asarray(config.image_std, images.dtype)
+    x = (images - mean) / std
+    if resize and x.shape[1:3] != tuple(config.size):
+        b, _, _, c = x.shape
+        x = jax.image.resize(
+            x, (b, config.size[0], config.size[1], c), method="bilinear")
+    return x
+
+
+def _single_image_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    config: SSDConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-image class-wise NMS with fixed shapes.
+
+    Exactly the reference pipeline (generalized_ssd.py:361-390): for each
+    foreground class, score-threshold filter then top `topk_candidates`;
+    class-wise NMS (classes never suppress each other); global top
+    `detections_per_img` by score.
+
+    Args:
+      boxes: (A, 4) decoded, clipped xyxy.
+      scores: (A, C) softmax scores incl. background column 0.
+
+    Returns (boxes (D, 4), scores (D,), labels (D,), valid (D,)).
+    """
+    a, c = scores.shape
+    k = min(config.topk_candidates, a)
+
+    fg_scores = scores[:, 1:].T  # (C-1, A)
+    top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # (C-1, k)
+    cand_boxes = jnp.take(boxes, top_idx, axis=0)  # (C-1, k, 4)
+    # Score-threshold filter (strict >, generalized_ssd.py:371).
+    cand_sc = jnp.where(top_sc > config.score_thresh, top_sc, _NEG_INF)
+
+    per_class_nms = functools.partial(
+        nms_mask, iou_threshold=config.nms_thresh, score_threshold=_NEG_INF / 2)
+    keep = jax.vmap(per_class_nms)(cand_boxes, cand_sc)  # (C-1, k)
+
+    flat_sc = jnp.where(keep, cand_sc, _NEG_INF).reshape(-1)
+    flat_boxes = cand_boxes.reshape(-1, 4)
+    flat_labels = jnp.broadcast_to(
+        jnp.arange(1, c, dtype=jnp.int32)[:, None], (c - 1, k)).reshape(-1)
+
+    d = config.detections_per_img
+    out_sc, out_idx = jax.lax.top_k(flat_sc, d)
+    valid = out_sc > _NEG_INF / 2
+    out_boxes = jnp.where(valid[:, None], jnp.take(flat_boxes, out_idx, axis=0), 0.0)
+    out_labels = jnp.where(valid, jnp.take(flat_labels, out_idx), 0)
+    out_sc = jnp.where(valid, out_sc, 0.0)
+    return out_boxes, out_sc, out_labels, valid
+
+
+def postprocess_detections(
+    cls_logits: jnp.ndarray,
+    bbox_regression: jnp.ndarray,
+    anchors: jnp.ndarray,
+    config: SSDConfig,
+    original_sizes: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Batched decode + class-wise NMS (+ rescale to original image sizes).
+
+    Args:
+      cls_logits: (B, A, C); bbox_regression: (B, A, 4); anchors: (A, 4).
+      original_sizes: optional (B, 2) int (h, w) per image; when given, boxes
+        are rescaled from network-input coordinates to the original frame
+        (reference transform.postprocess/resize_boxes, transform.py:228-292).
+
+    Returns {'boxes': (B, D, 4), 'scores': (B, D), 'labels': (B, D) int32,
+             'valid': (B, D) bool}.
+    """
+    scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    boxes = decode_boxes(
+        bbox_regression.astype(jnp.float32), anchors[None],
+        config.box_coder_weights)
+    boxes = clip_boxes_to_image(boxes, config.size)
+
+    nms_one = functools.partial(_single_image_nms, config=config)
+    out_boxes, out_scores, out_labels, valid = jax.vmap(nms_one)(boxes, scores)
+
+    if original_sizes is not None:
+        h, w = config.size
+        ratio = original_sizes.astype(jnp.float32) / jnp.asarray(
+            [h, w], jnp.float32)  # (B, 2) as (rh, rw)
+        scale = jnp.stack(
+            [ratio[:, 1], ratio[:, 0], ratio[:, 1], ratio[:, 0]], axis=-1)
+        out_boxes = out_boxes * scale[:, None, :]
+
+    return {"boxes": out_boxes, "scores": out_scores,
+            "labels": out_labels, "valid": valid}
+
+
+@dataclasses.dataclass
+class Detector:
+    """A built detector: module + config + anchors + ready-to-jit functions.
+
+    The builder-level bundle replacing the reference's monolithic `SSD`
+    nn.Module instance (builders return one of these).
+    """
+
+    model: SSD
+    config: SSDConfig
+    anchors: np.ndarray  # (A, 4) xyxy in input pixels
+
+    def init(self, rng: jax.Array, batch_size: int = 1) -> Any:
+        x = jnp.zeros((batch_size, *self.config.size, 3), jnp.float32)
+        return self.model.init(rng, x, train=False)
+
+    def apply(self, variables: Any, images: jnp.ndarray, train: bool = False,
+              **kwargs: Any) -> Any:
+        return self.model.apply(variables, images, train=train, **kwargs)
+
+    def loss(
+        self,
+        variables: Any,
+        images: jnp.ndarray,
+        gt_boxes: jnp.ndarray,
+        gt_labels: jnp.ndarray,
+        gt_valid: jnp.ndarray,
+    ) -> Tuple[Dict[str, jnp.ndarray], Any]:
+        """Training loss on a padded batch. Returns (loss dict, new batch_stats)."""
+        from demonet_tpu.models.losses import multibox_loss  # cycle guard
+
+        outputs, mutated = self.model.apply(
+            variables, images, train=True, mutable=["batch_stats"])
+        losses = multibox_loss(
+            outputs["cls_logits"], outputs["bbox_regression"],
+            jnp.asarray(self.anchors), gt_boxes, gt_labels, gt_valid,
+            iou_thresh=self.config.iou_thresh,
+            neg_to_pos_ratio=self.config.neg_to_pos_ratio,
+            box_coder_weights=self.config.box_coder_weights)
+        return losses, mutated
+
+    def predict(
+        self,
+        variables: Any,
+        images: jnp.ndarray,
+        original_sizes: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Normalized float images (B, H, W, 3) in [0,1] -> padded detections."""
+        x = preprocess(images, self.config)
+        outputs = self.model.apply(variables, x, train=False)
+        return postprocess_detections(
+            outputs["cls_logits"], outputs["bbox_regression"],
+            jnp.asarray(self.anchors), self.config, original_sizes)
