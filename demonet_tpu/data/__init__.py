@@ -1,0 +1,8 @@
+"""Datasets, augmentations, loaders, evaluators (reference demonet/data/)."""
+
+from demonet_tpu.data.coco import COCO_CLASSES, CocoDetection, get_coco  # noqa: F401
+from demonet_tpu.data.voc import VOC_CLASSES, VOCDetection  # noqa: F401
+from demonet_tpu.data.coco_eval import CocoEvaluator  # noqa: F401
+from demonet_tpu.data.voc_eval import VocEvaluator, voc_ap, voc_eval  # noqa: F401
+from demonet_tpu.data.loader import DetectionLoader  # noqa: F401
+from demonet_tpu.data.presets import DetectionPresetEval, DetectionPresetTrain  # noqa: F401

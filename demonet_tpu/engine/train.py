@@ -1,0 +1,117 @@
+"""Jitted SPMD train step + epoch loop.
+
+Reference: engine.train_one_epoch (demonet/engine.py:14-56). Differences are
+the TPU-native ones: the whole step (forward, matching, loss, backward, SGD
+update, BN stat update) is ONE jitted SPMD program; gradient averaging across
+the data mesh is XLA's all-reduce instead of DDP hooks; the non-finite-loss
+abort (engine.py:41-44) happens on the host from the step's scalar outputs.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from demonet_tpu.models.detection import Detector, preprocess
+from demonet_tpu.models.losses import multibox_loss
+from demonet_tpu.engine.state import TrainState
+from demonet_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+def make_train_step(
+    detector: Detector,
+    mesh: Optional[Mesh] = None,
+    normalize_in_step: bool = True,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.
+
+    Batch dict: images (B, H, W, 3) float [0,1]; gt_boxes (B, G, 4);
+    gt_labels (B, G); gt_valid (B, G).
+
+    With a mesh, inputs are batch-sharded over the "data" axis and the state
+    is replicated; XLA inserts the gradient all-reduce over ICI.
+    """
+    anchors = jnp.asarray(detector.anchors)
+    config = detector.config
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        images = batch["images"]
+        if normalize_in_step:
+            images = preprocess(images, config, resize=False)
+
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            losses = multibox_loss(
+                outputs["cls_logits"], outputs["bbox_regression"], anchors,
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
+                iou_thresh=config.iou_thresh,
+                neg_to_pos_ratio=config.neg_to_pos_ratio,
+                box_coder_weights=config.box_coder_weights)
+            total = losses["bbox_regression"] + losses["classification"]
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        new_state = new_state.replace(batch_stats=new_stats)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def train_one_epoch(
+    train_step: Callable,
+    state: TrainState,
+    data_loader,
+    epoch: int,
+    print_freq: int = 20,
+    lr_schedule: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
+) -> TrainState:
+    """Epoch loop with MetricLogger output (reference engine.py:14-56).
+
+    Aborts (sys.exit(1)) on non-finite loss like the reference
+    (engine.py:41-44).
+    """
+    logger = MetricLogger(delimiter="  ")
+    logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+
+    for batch in logger.log_every(data_loader, print_freq, header):
+        if mesh is not None:
+            from demonet_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch)
+
+        loss_value = float(metrics["loss"])
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            print({k: float(v) for k, v in metrics.items()})
+            sys.exit(1)
+
+        lr = float(lr_schedule(state.step)) if lr_schedule is not None else 0.0
+        logger.update(lr=lr, **{k: float(v) for k, v in metrics.items()})
+
+    return state

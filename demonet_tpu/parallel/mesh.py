@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's DistributedDataParallel wrap
+and DistributedSampler (train.py:123-128, :162-164): a 1-D "data" mesh over
+all devices; batches are sharded on their leading axis; parameters and
+optimizer state are replicated. Gradient averaging is implicit — XLA inserts
+the all-reduce (over ICI) when a jitted step consumes a batch-sharded input
+and produces replicated parameter updates.
+
+A second, optional "model" axis is plumbed through so larger backbones can
+shard channels/feature maps (tensor parallelism) without API changes; SSD's
+models are small enough that data parallelism is the profitable layout
+(SURVEY.md §2c notes TP/PP are absent from the reference too).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_axis: int = 1,
+) -> Mesh:
+    """A ("data", "model") mesh; model_axis=1 gives pure data parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (parameters, optimizer state, anchors)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
