@@ -97,49 +97,23 @@ def preprocess(
     return x
 
 
-def _single_image_nms(
-    boxes: jnp.ndarray,
-    scores: jnp.ndarray,
-    config: SSDConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-image class-wise NMS with fixed shapes.
+def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
+              config: SSDConfig, nms_impl: str) -> jnp.ndarray:
+    """Keep mask for (P, K) score-sorted candidate sets.
 
-    Exactly the reference pipeline (generalized_ssd.py:361-390): for each
-    foreground class, score-threshold filter then top `topk_candidates`;
-    class-wise NMS (classes never suppress each other); global top
-    `detections_per_img` by score.
-
-    Args:
-      boxes: (A, 4) decoded, clipped xyxy.
-      scores: (A, C) softmax scores incl. background column 0.
-
-    Returns (boxes (D, 4), scores (D,), labels (D,), valid (D,)).
+    'pallas' = the TPU kernel (ops/nms_pallas.py); 'xla' = vmapped scan
+    (ops/nms.py) for CPU/debug; 'auto' picks by backend.
     """
-    a, c = scores.shape
-    k = min(config.topk_candidates, a)
+    if nms_impl == "auto":
+        nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if nms_impl == "pallas":
+        from demonet_tpu.ops.nms_pallas import nms_keep_batch
 
-    fg_scores = scores[:, 1:].T  # (C-1, A)
-    top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # (C-1, k)
-    cand_boxes = jnp.take(boxes, top_idx, axis=0)  # (C-1, k, 4)
-    # Score-threshold filter (strict >, generalized_ssd.py:371).
-    cand_sc = jnp.where(top_sc > config.score_thresh, top_sc, _NEG_INF)
-
-    per_class_nms = functools.partial(
+        return nms_keep_batch(
+            cand_boxes, cand_scores, config.nms_thresh, _NEG_INF / 2)
+    per_problem = functools.partial(
         nms_mask, iou_threshold=config.nms_thresh, score_threshold=_NEG_INF / 2)
-    keep = jax.vmap(per_class_nms)(cand_boxes, cand_sc)  # (C-1, k)
-
-    flat_sc = jnp.where(keep, cand_sc, _NEG_INF).reshape(-1)
-    flat_boxes = cand_boxes.reshape(-1, 4)
-    flat_labels = jnp.broadcast_to(
-        jnp.arange(1, c, dtype=jnp.int32)[:, None], (c - 1, k)).reshape(-1)
-
-    d = config.detections_per_img
-    out_sc, out_idx = jax.lax.top_k(flat_sc, d)
-    valid = out_sc > _NEG_INF / 2
-    out_boxes = jnp.where(valid[:, None], jnp.take(flat_boxes, out_idx, axis=0), 0.0)
-    out_labels = jnp.where(valid, jnp.take(flat_labels, out_idx), 0)
-    out_sc = jnp.where(valid, out_sc, 0.0)
-    return out_boxes, out_sc, out_labels, valid
+    return jax.vmap(per_problem)(cand_boxes, cand_scores)
 
 
 def postprocess_detections(
@@ -148,8 +122,15 @@ def postprocess_detections(
     anchors: jnp.ndarray,
     config: SSDConfig,
     original_sizes: Optional[jnp.ndarray] = None,
+    nms_impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Batched decode + class-wise NMS (+ rescale to original image sizes).
+
+    Exactly the reference pipeline (generalized_ssd.py:351-397): softmax,
+    decode, clip; per foreground class, score-threshold filter + top
+    `topk_candidates`; class-wise NMS (classes never suppress each other);
+    global top `detections_per_img` by score. All (image x class) candidate
+    sets are flattened into one batched NMS kernel invocation.
 
     Args:
       cls_logits: (B, A, C); bbox_regression: (B, A, 4); anchors: (A, 4).
@@ -160,14 +141,39 @@ def postprocess_detections(
     Returns {'boxes': (B, D, 4), 'scores': (B, D), 'labels': (B, D) int32,
              'valid': (B, D) bool}.
     """
+    b, a, c = cls_logits.shape
     scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     boxes = decode_boxes(
         bbox_regression.astype(jnp.float32), anchors[None],
         config.box_coder_weights)
     boxes = clip_boxes_to_image(boxes, config.size)
 
-    nms_one = functools.partial(_single_image_nms, config=config)
-    out_boxes, out_scores, out_labels, valid = jax.vmap(nms_one)(boxes, scores)
+    k = min(config.topk_candidates, a)
+    fg_scores = jnp.swapaxes(scores[..., 1:], 1, 2)  # (B, C-1, A)
+    top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # (B, C-1, k), sorted desc
+    cand_boxes = jax.vmap(lambda bx, ix: jnp.take(bx, ix, axis=0))(
+        boxes, top_idx.reshape(b, -1)).reshape(b, c - 1, k, 4)
+    # Score-threshold filter (strict >, generalized_ssd.py:371).
+    cand_sc = jnp.where(top_sc > config.score_thresh, top_sc, _NEG_INF)
+
+    keep = _nms_keep(
+        cand_boxes.reshape(b * (c - 1), k, 4),
+        cand_sc.reshape(b * (c - 1), k),
+        config, nms_impl).reshape(b, c - 1, k)
+
+    flat_sc = jnp.where(keep, cand_sc, _NEG_INF).reshape(b, -1)
+    flat_boxes = cand_boxes.reshape(b, -1, 4)
+    flat_labels = jnp.broadcast_to(
+        jnp.arange(1, c, dtype=jnp.int32)[None, :, None],
+        (b, c - 1, k)).reshape(b, -1)
+
+    d = config.detections_per_img
+    out_scores, out_idx = jax.lax.top_k(flat_sc, d)  # (B, D)
+    valid = out_scores > _NEG_INF / 2
+    gather = jax.vmap(lambda x, i: jnp.take(x, i, axis=0))
+    out_boxes = jnp.where(valid[..., None], gather(flat_boxes, out_idx), 0.0)
+    out_labels = jnp.where(valid, gather(flat_labels, out_idx), 0)
+    out_scores = jnp.where(valid, out_scores, 0.0)
 
     if original_sizes is not None:
         h, w = config.size
