@@ -40,24 +40,15 @@ def max_pool_torch(
     return nn.max_pool(x, (k, k), strides=(s, s), padding=pads)
 
 
-class _Conv(nn.Module):
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    padding: int = 1
-    dilation: int = 1
-    xavier: bool = False
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        init = _xavier if self.xavier else nn.initializers.lecun_normal()
-        return nn.Conv(
-            self.features, (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            kernel_dilation=(self.dilation, self.dilation),
-            kernel_init=init, use_bias=True, dtype=self.dtype)(x)
+def _conv(name: str, features: int, kernel: int = 3, stride: int = 1,
+          padding: int = 1, dilation: int = 1, xavier: bool = False,
+          dtype: Dtype = jnp.float32) -> nn.Conv:
+    init = _xavier if xavier else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        kernel_init=init, use_bias=True, dtype=dtype, name=name)
 
 
 class VGG16SSDExtractor(nn.Module):
@@ -70,7 +61,7 @@ class VGG16SSDExtractor(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         del train  # no BN in the vgg16 variant
         relu = nn.relu
-        c = lambda n, ch, **kw: _Conv(ch, dtype=self.dtype, name=n, **kw)  # noqa: E731
+        c = lambda n, ch, **kw: _conv(n, ch, dtype=self.dtype, **kw)  # noqa: E731
 
         # --- VGG trunk through conv4_3 (reference ssd_vgg16.py:43-45) ---
         x = relu(c("conv1_1", 64)(x))

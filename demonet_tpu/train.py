@@ -1,0 +1,162 @@
+"""Training CLI (reference demonet/train.py:51-210).
+
+Usage (single host drives all local TPU chips via the data mesh — no
+torch.distributed.launch equivalent needed; multi-host uses
+jax.distributed.initialize automatically):
+
+    python -m demonet_tpu.train --data-path /data/coco --dataset coco \
+        --model ssdlite320_mobilenet_v3_large --batch-size 16 --epochs 26
+
+Defaults mirror the reference recipe: lr 0.02, SGD momentum 0.9, weight
+decay 1e-4, epochs 26, MultiStepLR [16, 22] gamma 0.1, linear warmup 1000
+iters (train.py:59-75, engine.py:21-25).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="demonet_tpu detection training", add_help=add_help)
+    parser.add_argument("--data-path", default="/data/coco", help="dataset root")
+    parser.add_argument("--dataset", default="coco", choices=["coco", "voc"])
+    parser.add_argument("--model", default="ssdlite320_mobilenet_v3_large")
+    parser.add_argument("--num-classes", default=None, type=int,
+                        help="default: 91 for coco, 21 for voc")
+    parser.add_argument("--batch-size", "-b", default=16, type=int,
+                        help="global batch size (sharded over the mesh)")
+    parser.add_argument("--epochs", default=26, type=int)
+    parser.add_argument("--lr", default=0.02, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--weight-decay", "--wd", default=1e-4, type=float,
+                        dest="weight_decay")
+    parser.add_argument("--lr-steps", default=[16, 22], nargs="+", type=int)
+    parser.add_argument("--lr-gamma", default=0.1, type=float)
+    parser.add_argument("--warmup-iters", default=1000, type=int)
+    parser.add_argument("--print-freq", default=20, type=int)
+    parser.add_argument("--output-dir", default=".")
+    parser.add_argument("--resume", default="", help="checkpoint path")
+    parser.add_argument("--start-epoch", default=0, type=int)
+    parser.add_argument("--data-augmentation", default="hflip",
+                        choices=["hflip", "ssd"])
+    parser.add_argument("--max-gt", default=100, type=int,
+                        help="ground-truth padding per image")
+    parser.add_argument("--test-only", dest="test_only", action="store_true")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params stay fp32)")
+    return parser
+
+
+def build_datasets(args):
+    from demonet_tpu.data.presets import DetectionPresetEval, DetectionPresetTrain
+
+    train_tf = DetectionPresetTrain(args.data_augmentation)
+    eval_tf = DetectionPresetEval()
+    if args.dataset == "coco":
+        from demonet_tpu.data.coco import get_coco
+
+        ds_train = get_coco(args.data_path, "train", train_tf)
+        ds_val = get_coco(args.data_path, "val", eval_tf)
+        num_classes = 91
+    else:
+        from demonet_tpu.data.voc import VOCDetection
+
+        ds_train = VOCDetection(args.data_path, "2007", "trainval", train_tf)
+        ds_val = VOCDetection(args.data_path, "2007", "test", eval_tf)
+        num_classes = 21
+    return ds_train, ds_val, num_classes
+
+
+def make_evaluator(args, ds_val):
+    if args.dataset == "coco":
+        from demonet_tpu.data.coco_eval import CocoEvaluator
+
+        return CocoEvaluator(ds_val.ground_truth_for_eval())
+    from demonet_tpu.data.voc_eval import VocEvaluator
+
+    return VocEvaluator(ds_val)
+
+
+def main(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from demonet_tpu.data.loader import DetectionLoader
+    from demonet_tpu.engine import (
+        create_train_state,
+        evaluate,
+        make_lr_schedule,
+        make_optimizer,
+        make_predict_step,
+        make_train_step,
+        train_one_epoch,
+    )
+    from demonet_tpu.models import get_model
+    from demonet_tpu.parallel import data_mesh, initialize, is_main_process, replicate
+    from demonet_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+
+    initialize()
+    print(args)
+    mesh = data_mesh()
+
+    ds_train, ds_val, default_classes = build_datasets(args)
+    num_classes = args.num_classes or default_classes
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    detector = get_model(args.model, num_classes=num_classes, dtype=dtype)
+    size = detector.config.size
+
+    loader_kw = dict(
+        image_size=size, max_gt=args.max_gt, seed=args.seed,
+        num_shards=jax.process_count(), shard_index=jax.process_index())
+    train_loader = DetectionLoader(
+        ds_train, args.batch_size, shuffle=True, drop_last=True, **loader_kw)
+    val_loader = DetectionLoader(ds_val, args.batch_size, **loader_kw)
+
+    steps_per_epoch = len(train_loader)
+    schedule = make_lr_schedule(
+        args.lr, steps_per_epoch, args.lr_steps, args.lr_gamma,
+        args.warmup_iters)
+    tx = make_optimizer(schedule, args.momentum, args.weight_decay)
+    state = create_train_state(detector, jax.random.PRNGKey(args.seed), tx)
+    state = jax.device_put(state, replicate(mesh))
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        state, epoch, _ = load_checkpoint(args.resume, state)
+        start_epoch = epoch + 1
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    train_step = make_train_step(detector, mesh=mesh)
+    predict_step = make_predict_step(detector, mesh=mesh)
+
+    if args.test_only:
+        evaluate(predict_step, state, val_loader, make_evaluator(args, ds_val),
+                 mesh=mesh)
+        return
+
+    print("Start training")
+    start = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        state = train_one_epoch(
+            train_step, state, train_loader, epoch,
+            print_freq=args.print_freq, lr_schedule=schedule, mesh=mesh)
+        if args.output_dir:
+            save_checkpoint(args.output_dir, jax.device_get(state), epoch,
+                            metadata={"args": vars(args)})
+        evaluate(predict_step, state, val_loader, make_evaluator(args, ds_val),
+                 mesh=mesh)
+
+    total = time.time() - start
+    if is_main_process():
+        print(f"Training time {total / 3600:.2f}h")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

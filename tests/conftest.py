@@ -15,4 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# JAX_PLATFORMS alone does not demote plugin backends (the axon TPU plugin
+# registers regardless); jax_platform_name reliably makes CPU the default.
+jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8
