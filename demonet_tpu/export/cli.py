@@ -1,0 +1,76 @@
+"""Export CLI (reference export/onnx_export.py:7-55, redone for StableHLO).
+
+    python -m demonet_tpu.export.cli --model ssdlite320_mobilenet_v3_large \
+        --batch-size 1 --output model.stablehlo.bin --mlir model.mlir \
+        --checkpoint ckpts/checkpoint_25
+
+Emits the serialized jax.export artifact (.bin, reload with load_exported)
+and optionally readable StableHLO MLIR (.mlir) for the C++ PJRT runner.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="demonet_tpu export",
+                                add_help=add_help)
+    p.add_argument("--model", default="ssdlite320_mobilenet_v3_large")
+    p.add_argument("--num-classes", default=91, type=int)
+    p.add_argument("--batch-size", default=1, type=int)
+    p.add_argument("--checkpoint", default="", help="orbax checkpoint dir")
+    p.add_argument("--torch-weights", default="",
+                   help=".pth file converted via utils.torch_weights")
+    p.add_argument("--output", default="model.stablehlo.bin")
+    p.add_argument("--mlir", default="", help="also dump StableHLO text here")
+    p.add_argument("--platforms", default="tpu",
+                   help="comma-separated lowering platforms (tpu, cpu)")
+    p.add_argument("--raw-outputs", action="store_true",
+                   help="export backbone+heads only (no decode/NMS)")
+    return p
+
+
+def main(args) -> None:
+    import jax
+
+    from demonet_tpu.export.stablehlo import (
+        export_detector, save_exported, save_stablehlo_text)
+    from demonet_tpu.models import get_model
+
+    detector = get_model(args.model, num_classes=args.num_classes)
+    variables = detector.init(jax.random.PRNGKey(0))
+
+    if args.torch_weights:
+        from demonet_tpu.utils.torch_weights import (
+            convert_state_dict, load_torch_checkpoint)
+
+        sd = load_torch_checkpoint(args.torch_weights)
+        variables = convert_state_dict(args.model, sd)
+        print(f"loaded torch weights from {args.torch_weights}")
+    elif args.checkpoint:
+        import optax
+
+        from demonet_tpu.engine.state import TrainState
+        from demonet_tpu.utils.checkpoints import load_checkpoint
+
+        abstract = TrainState.create(
+            apply_fn=None, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=optax.sgd(0.0))
+        state, _, _ = load_checkpoint(args.checkpoint, abstract)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        print(f"loaded checkpoint {args.checkpoint}")
+
+    platforms = tuple(args.platforms.split(","))
+    exported = export_detector(
+        detector, variables, batch_size=args.batch_size,
+        with_postprocess=not args.raw_outputs, platforms=platforms)
+    save_exported(exported, args.output)
+    print(f"wrote {args.output}")
+    if args.mlir:
+        save_stablehlo_text(exported, args.mlir)
+        print(f"wrote {args.mlir}")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

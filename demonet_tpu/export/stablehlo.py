@@ -1,0 +1,91 @@
+"""StableHLO export of detectors via jax.export.
+
+Capability parity with the reference's export surface:
+  * ONNX export CLI (export/onnx_export.py:7-32)  -> export_detector +
+    save_exported: one serialized artifact with the full pipeline
+    (normalize -> backbone -> heads -> decode -> NMS) baked in, weights
+    embedded as constants.
+  * TorchScript trace (test/tracing/trace_model.py) -> the same artifact,
+    executed from C++ through the PJRT C API (cpp/pjrt_runner.cc).
+  * parity testing (test/test_onnx.py:18-74)      -> tests/test_export.py
+    deserializes and compares against eager outputs.
+
+The exported function is batch-size-static (pass the serving batch size);
+`jax.export` symbolic dims could relax this, but detection post-processing
+(top_k sizes) is static anyway, matching the reference's fixed-size
+transform.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from demonet_tpu.models.detection import (
+    Detector,
+    postprocess_detections,
+    preprocess,
+)
+
+
+def export_detector(
+    detector: Detector,
+    variables,
+    batch_size: int = 1,
+    with_postprocess: bool = True,
+    platforms: Optional[Tuple[str, ...]] = None,
+    nms_impl: str = "auto",
+) -> jax_export.Exported:
+    """Export the inference pipeline as a jax.export.Exported.
+
+    Args:
+      with_postprocess: include decode+NMS (the deployable artifact). False
+        exports backbone+heads only (raw (B, A, C)/(B, A, 4) outputs) — the
+        shape the reference's ONNX export emits before its wrapper
+        (onnx_export.py:24-32).
+      platforms: lowering platforms, e.g. ("tpu",) or ("cpu", "tpu").
+        The Pallas NMS kernel only lowers for TPU; CPU exports use the
+        XLA NMS automatically.
+    """
+    anchors = jnp.asarray(detector.anchors)
+    config = detector.config
+
+    def infer(images):
+        x = preprocess(images, config, resize=False)
+        outputs = detector.model.apply(variables, x, train=False)
+        if not with_postprocess:
+            return outputs
+        impl = nms_impl
+        if impl == "auto" and platforms is not None:
+            impl = "pallas" if platforms == ("tpu",) else "xla"
+        return postprocess_detections(
+            outputs["cls_logits"], outputs["bbox_regression"], anchors,
+            config, nms_impl=impl)
+
+    h, w = config.size
+    spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    return jax_export.export(jax.jit(infer), **kwargs)(spec)
+
+
+def save_exported(exported: jax_export.Exported, path: str) -> None:
+    """Serialize to bytes on disk (the .onnx/.pt analogue)."""
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_exported(path: str) -> jax_export.Exported:
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
+def save_stablehlo_text(exported: jax_export.Exported, path: str) -> None:
+    """Dump readable StableHLO MLIR (debugging / the C++ runner's input)."""
+    with open(path, "w") as f:
+        f.write(exported.mlir_module())
