@@ -160,16 +160,54 @@ def ssd_lite_mobilenet_v2(
     return Detector(SSD(extractor, head), config, boxes)
 
 
+def pelee304(
+    num_classes: int = 21,
+    size: Tuple[int, int] = (304, 304),
+    score_thresh: float = 0.5,
+    dtype: Any = jnp.float32,
+    **config_overrides: Any,
+) -> Detector:
+    """Pelee-SSD 304 (the v0 Pelee detector, restored in working form —
+    reference pelee.py:184-212: PeleeNet backbone, 5 maps, 6 anchors each,
+    ratios 5x[2,3], scales 0.15-0.9, steps [16, 30, 60, 101, 304])."""
+    from demonet_tpu.models.heads import Pelee1x1Head
+    from demonet_tpu.models.peleenet import PeleeExtractor
+
+    extractor = PeleeExtractor(dtype=dtype)
+    aspect_ratios = [[2, 3]] * 5
+    num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
+    head = Pelee1x1Head(tuple(num_anchors), num_classes, dtype=dtype)
+    config = SSDConfig(
+        size=size, num_classes=num_classes,
+        image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
+        score_thresh=score_thresh, nms_thresh=0.45,
+        detections_per_img=100, topk_candidates=400,
+        **config_overrides)
+    grids = feature_grid_sizes(extractor, size)
+    # the paper's steps are defined for the 304 input; at other (test) sizes
+    # fall back to grid-derived centers
+    steps = [16, 30, 60, 101, 304] if size == (304, 304) else None
+    boxes = anchor_lib.default_boxes(
+        grids, size, aspect_ratios, min_ratio=0.15, max_ratio=0.9, steps=steps)
+    return Detector(SSD(extractor, head), config, boxes)
+
+
 # --- registry (reference demonet/models/__init__.py + train.py:154) ---
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "ssdlite320_mobilenet_v3_large": ssdlite320_mobilenet_v3_large,
     "ssd300_vgg16": ssd300_vgg16,
     "ssd512_vgg16": ssd512_vgg16,
     "ssd_lite_mobilenet_v2": ssd_lite_mobilenet_v2,
+    "pelee304": pelee304,
     "mobilenet_v2": mobilenet_v2,
     "mobilenet_v3_large": mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet_v3_small,
+    "peleenet_v1": None,  # set below (lazy import keeps builders.py light)
 }
+
+from demonet_tpu.models.peleenet import peleenet_v1  # noqa: E402
+
+MODEL_REGISTRY["peleenet_v1"] = peleenet_v1
 
 
 def get_model(name: str, **kwargs: Any):

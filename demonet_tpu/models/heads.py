@@ -60,6 +60,31 @@ class SSDHead(nn.Module):
         }
 
 
+class Pelee1x1Head(nn.Module):
+    """Plain 1x1 conv heads on ResBlock-refined 256-channel maps
+    (reference pelee.py:170-178)."""
+
+    num_anchors: Sequence[int]
+    num_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray], train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        del train
+        cls_out, reg_out = [], []
+        for i, (x, a) in enumerate(zip(features, self.num_anchors)):
+            cls_out.append(nn.Conv(
+                self.num_classes * a, (1, 1), dtype=self.dtype,
+                name=f"cls_{i}")(x))
+            reg_out.append(nn.Conv(
+                4 * a, (1, 1), dtype=self.dtype, name=f"reg_{i}")(x))
+        return {
+            "cls_logits": _flatten_levels(cls_out, self.num_classes),
+            "bbox_regression": _flatten_levels(reg_out, 4),
+        }
+
+
 class SSDLiteHead(nn.Module):
     """Depthwise-separable SSD head (reference ssd_mobilenetv3.py:65-96)."""
 
