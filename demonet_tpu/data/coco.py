@@ -62,9 +62,13 @@ class CocoDetection:
         transforms: Optional[Callable] = None,
         remove_images_without_annotations: bool = False,
         category_ids: Optional[Sequence[int]] = None,
+        return_masks: bool = False,
+        return_keypoints: bool = False,
     ):
         self.img_folder = img_folder
         self.transforms = transforms
+        self.return_masks = return_masks
+        self.return_keypoints = return_keypoints
 
         with open(ann_file) as f:
             coco = json.load(f)
@@ -115,11 +119,32 @@ class CocoDetection:
         iscrowd = np.asarray([a.get("iscrowd", 0) for a in anns], np.int64)
         # degenerate filter (reference coco.py:85-90)
         keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
-        return {
+        target = {
             "boxes": boxes[keep], "labels": labels[keep],
             "area": area[keep], "iscrowd": iscrowd[keep],
             "image_id": img_id, "orig_size": (h, w),
         }
+        if self.return_masks:
+            # polygon -> binary mask rasterization (the reference converts
+            # via pycocotools, coco.py:33-50; PIL rasterizes equivalently)
+            masks = [
+                _polygons_to_mask(a.get("segmentation", []), h, w)
+                for a in anns]
+            masks = (np.stack(masks) if masks
+                     else np.zeros((0, h, w), bool))
+            target["masks"] = masks[keep]
+        if self.return_keypoints:
+            # (N, K, 3) [x, y, visibility] (reference coco.py:77-82)
+            kps = [np.asarray(a.get("keypoints", []), np.float32).reshape(-1, 3)
+                   for a in anns]
+            if kps:
+                width = max((k.shape[0] for k in kps), default=0)
+                kps = [np.pad(k, ((0, width - k.shape[0]), (0, 0)))
+                       for k in kps]
+                target["keypoints"] = np.stack(kps)[keep]
+            else:
+                target["keypoints"] = np.zeros((0, 0, 3), np.float32)
+        return target
 
     def __getitem__(self, idx: int):
         img_id = self.ids[idx]
@@ -155,14 +180,34 @@ class CocoDetection:
         return out
 
 
+def _polygons_to_mask(segmentation, h: int, w: int) -> np.ndarray:
+    """Rasterize COCO polygon segmentation to a binary (h, w) mask."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("1", (w, h), 0)
+    draw = ImageDraw.Draw(img)
+    if isinstance(segmentation, list):
+        for poly in segmentation:
+            if isinstance(poly, list) and len(poly) >= 6:
+                draw.polygon([(poly[i], poly[i + 1])
+                              for i in range(0, len(poly), 2)], fill=1)
+    return np.asarray(img, bool)
+
+
 def get_coco(root: str, image_set: str,
-             transforms: Optional[Callable] = None) -> CocoDetection:
+             transforms: Optional[Callable] = None,
+             mode: str = "instances", **kwargs) -> CocoDetection:
     """train2017/val2017 layout (reference coco.py:226-252)."""
-    anno_file = {
-        "train": os.path.join("annotations", "instances_train2017.json"),
-        "val": os.path.join("annotations", "instances_val2017.json"),
-    }[image_set]
+    anno_file = os.path.join(
+        "annotations", f"{mode}_{image_set}2017.json")
     img_folder = os.path.join(root, f"{image_set}2017")
     return CocoDetection(
         img_folder, os.path.join(root, anno_file), transforms=transforms,
-        remove_images_without_annotations=(image_set == "train"))
+        remove_images_without_annotations=(image_set == "train"), **kwargs)
+
+
+def get_coco_kp(root: str, image_set: str,
+                transforms: Optional[Callable] = None) -> CocoDetection:
+    """Keypoint variant (reference coco.py:254-255)."""
+    return get_coco(root, image_set, transforms,
+                    mode="person_keypoints", return_keypoints=True)

@@ -32,9 +32,14 @@ def test_nms_mask_order_dependence():
 
 
 def test_nms_high_threshold_keeps_all():
+    # strict > comparison: IoU(A, D) == 1.0 is not > 1.0, so even exact
+    # duplicates survive at threshold 1.0
     scores = jnp.array([0.9, 0.8, 0.7, 0.6])
-    keep = np.asarray(nms_mask(_boxes(), scores, 0.99))
+    keep = np.asarray(nms_mask(_boxes(), scores, 1.0))
     assert keep.tolist() == [True, True, True, True]
+    # and at 0.99 the duplicate D (IoU 1.0 with A) is suppressed
+    keep2 = np.asarray(nms_mask(_boxes(), scores, 0.99))
+    assert keep2.tolist() == [True, True, True, False]
 
 
 def test_nms_score_threshold_padding():
