@@ -155,6 +155,18 @@ class CocoDetection:
             img, target = self.transforms(img, target)
         return img, target
 
+    def raw_item(self, idx: int):
+        """(jpeg bytes or None, untransformed target) — the native-decode
+        fast path (data/native.py)."""
+        img_id = self.ids[idx]
+        info = self.images[img_id]
+        path = os.path.join(self.img_folder, info["file_name"])
+        blob = None
+        if path.lower().endswith((".jpg", ".jpeg")):
+            with open(path, "rb") as f:
+                blob = f.read()
+        return blob, self._make_target(img_id, info["height"], info["width"])
+
     def ground_truth_for_eval(self) -> List[Dict]:
         """All ground truth (crowd included) for CocoEvaluator."""
         out = []

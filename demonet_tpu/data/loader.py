@@ -46,6 +46,8 @@ class DetectionLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         pad_last_batch: bool = True,
+        native_decode: bool = False,
+        native_threads: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +61,22 @@ class DetectionLoader:
         self.shard_index = shard_index
         self.pad_last_batch = pad_last_batch
         self.epoch = 0
+        # Native C++ decode+resize fast path (cpp/imageio.cc): bypasses
+        # Python-side augmentations, so it's an eval/serving path.
+        self.native_decode = False
+        self.native_threads = native_threads
+        if native_decode:
+            from demonet_tpu.data import native
+
+            if not hasattr(dataset, "raw_item"):
+                raise ValueError("dataset lacks raw_item(); cannot use "
+                                 "native_decode")
+            if not native.available():
+                raise RuntimeError(
+                    "native_decode requested but libdemonet_imageio.so is "
+                    "not built (cmake -S cpp -B cpp/build && "
+                    "cmake --build cpp/build)")
+            self.native_decode = True
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffle per epoch (reference DistributedSampler.set_epoch,
@@ -100,8 +118,53 @@ class DetectionLoader:
             img = img.astype(np.float32) / 255.0
         return img, target, (h, w)
 
+    def _assemble_native(self, ds_indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Batch decode+resize in C++ (one call), targets from metadata."""
+        from demonet_tpu.data import native
+
+        b = self.batch_size
+        nh, nw = self.image_size
+        g = self.max_gt
+        blobs, targets = [], []
+        for ds_idx in ds_indices:
+            blob, target = self.dataset.raw_item(int(ds_idx))
+            blobs.append(blob)
+            targets.append(target)
+        images, hw = native.decode_jpeg_batch(
+            blobs, nh, nw, self.native_threads)
+
+        out = {
+            "images": np.zeros((b, nh, nw, 3), np.float32),
+            "gt_boxes": np.zeros((b, g, 4), np.float32),
+            "gt_labels": np.zeros((b, g), np.int32),
+            "gt_valid": np.zeros((b, g), bool),
+            "image_ids": np.zeros((b,), np.int64),
+            "original_sizes": np.zeros((b, 2), np.int32),
+            "batch_valid": np.zeros((b,), bool),
+        }
+        n = len(ds_indices)
+        out["images"][:n] = images
+        out["original_sizes"][:n] = hw
+        for i, target in enumerate(targets):
+            h, w = hw[i]
+            boxes = np.asarray(target.get("boxes", np.zeros((0, 4))))
+            if len(boxes):
+                boxes = boxes * np.asarray(
+                    [nw / w, nh / h, nw / w, nh / h], np.float32)
+            labels = np.asarray(target.get("labels", np.zeros((0,))))
+            k = min(len(boxes), g)
+            if k:
+                out["gt_boxes"][i, :k] = boxes[:k]
+                out["gt_labels"][i, :k] = labels[:k]
+                out["gt_valid"][i, :k] = True
+            out["image_ids"][i] = target.get("image_id", int(ds_indices[i]))
+            out["batch_valid"][i] = True
+        return out
+
     def _assemble(self, ds_indices: np.ndarray,
                   rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        if self.native_decode:
+            return self._assemble_native(ds_indices)
         b = self.batch_size
         nh, nw = self.image_size
         g = self.max_gt

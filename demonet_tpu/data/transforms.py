@@ -81,6 +81,32 @@ class Resize:
         return image, target
 
 
+class ResizeShortestEdge:
+    """Aspect-preserving min/max-size resize — the reference transform's
+    non-fixed mode (transform.py:150-173, _resize_image_and_masks:27-53):
+    scale so the short side hits min_size unless the long side would exceed
+    max_size."""
+
+    def __init__(self, min_size: int = 800, max_size: int = 1333):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, image, target, rng=None):
+        import cv2
+
+        h, w = image.shape[:2]
+        scale = self.min_size / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if target is not None and len(target.get("boxes", ())):
+            boxes = target["boxes"] * np.asarray(
+                [nw / w, nh / h, nw / w, nh / h], np.float32)
+            target = dict(target, boxes=boxes)
+        return image, target
+
+
 class RandomIoUCrop:
     """SSD sampler crop (reference transforms.py:54-130)."""
 

@@ -108,6 +108,14 @@ class VOCDetection:
             img, target = self.transforms(img, target)
         return img, target
 
+    def raw_item(self, idx: int):
+        """(jpeg bytes, untransformed target) for the native-decode path."""
+        name = self.image_names[idx]
+        with open(os.path.join(self.img_dir, f"{name}.jpg"), "rb") as f:
+            blob = f.read()
+        _, target = self._target(name, idx)
+        return blob, target
+
     def get_height_and_width(self, idx: int) -> Tuple[int, int]:
         ann = parse_voc_xml(
             os.path.join(self.ann_dir, f"{self.image_names[idx]}.xml"))
