@@ -21,7 +21,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from demonet_tpu.models.matcher import ssd_match
 from demonet_tpu.ops.boxes import box_iou, encode_boxes
@@ -78,34 +77,44 @@ def multibox_loss(
         matched_idxs = match_batch(anchors, gt_boxes, gt_valid, iou_thresh)
 
     b, a, num_classes = cls_logits.shape
+    g = gt_boxes.shape[1]
     fg = matched_idxs >= 0  # (B, A)
     num_fg_per_img = jnp.sum(fg, axis=1)  # (B,)
     n = jnp.maximum(1, jnp.sum(num_fg_per_img)).astype(cls_logits.dtype)
 
+    # Per-anchor gathers of matched gt rows are pathological row-gathers on
+    # TPU; a one-hot batched matmul does the same selection on the MXU.
+    safe_idx = jnp.clip(matched_idxs, 0, g - 1)
+    select = jax.nn.one_hot(safe_idx, g, dtype=cls_logits.dtype)  # (B, A, G)
+
     # ---- regression (generalized_ssd.py:226-235) ----
-    safe_idx = jnp.clip(matched_idxs, 0, gt_boxes.shape[1] - 1)
-    matched_gt = jnp.take_along_axis(
-        gt_boxes, safe_idx[..., None], axis=1)  # (B, A, 4)
+    matched_gt = jnp.einsum(
+        "bag,bgc->bac", select, gt_boxes.astype(cls_logits.dtype),
+        preferred_element_type=jnp.float32)  # (B, A, 4)
     target_reg = encode_boxes(matched_gt, anchors[None], box_coder_weights)
     reg_l = jnp.sum(smooth_l1(bbox_regression - target_reg), axis=-1)  # (B, A)
     bbox_loss = jnp.sum(reg_l * fg) / n
 
     # ---- classification targets (generalized_ssd.py:237-242) ----
-    matched_labels = jnp.take_along_axis(gt_labels, safe_idx, axis=1)  # (B, A)
+    matched_labels = jnp.einsum(
+        "bag,bg->ba", select, gt_labels.astype(jnp.float32),
+        preferred_element_type=jnp.float32).astype(gt_labels.dtype)
     cls_targets = jnp.where(fg, matched_labels, 0)
 
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        cls_logits, cls_targets)  # (B, A)
+    # CE without per-anchor label gathers: one-hot contraction + logsumexp.
+    logz = jax.nn.logsumexp(cls_logits, axis=-1)  # (B, A)
+    label_onehot = jax.nn.one_hot(cls_targets, num_classes,
+                                  dtype=cls_logits.dtype)
+    label_logit = jnp.einsum("bac,bac->ba", cls_logits, label_onehot)
+    ce = logz - label_logit  # (B, A)
 
     # ---- hard negative mining (generalized_ssd.py:255-263) ----
     num_neg = (neg_to_pos_ratio * num_fg_per_img)[:, None]  # (B, 1)
     neg_loss = jnp.where(fg, -jnp.inf, ce)
     order = jnp.argsort(-neg_loss, axis=1)
-    # rank[i, order[i, k]] = k  (double argsort)
-    rank = jnp.zeros((b, a), jnp.int32)
-    batch_idx = jnp.arange(b)[:, None]
-    rank = rank.at[batch_idx, order].set(
-        jnp.broadcast_to(jnp.arange(a, dtype=jnp.int32)[None], (b, a)))
+    # rank[i, order[i, k]] = k: the inverse permutation is itself an argsort
+    # (sort-based — avoids a (B, A) scatter, reference's idx.sort(1)[1] trick)
+    rank = jnp.argsort(order, axis=1).astype(jnp.int32)
     bg = rank < num_neg
 
     cls_loss = (jnp.sum(ce * fg) + jnp.sum(ce * bg)) / n
