@@ -1,0 +1,131 @@
+"""Caffe export round-trip: decode the emitted caffemodel wire format with an
+independent minimal protobuf reader and verify structure + weight bits."""
+
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from demonet_tpu.export.caffe import export_caffe
+
+
+def _read_varint(buf, pos):
+    result, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = struct.unpack("<f", buf[pos:pos + 4])[0]
+            pos += 4
+        else:
+            raise ValueError(f"wire {wire}")
+        yield field, wire, val
+
+
+def _parse_layer(buf):
+    layer = {"bottoms": [], "tops": [], "blobs": []}
+    for field, wire, val in _iter_fields(buf):
+        if field == 1:
+            layer["name"] = val.decode()
+        elif field == 2:
+            layer["type"] = val.decode()
+        elif field == 3:
+            layer["bottoms"].append(val.decode())
+        elif field == 4:
+            layer["tops"].append(val.decode())
+        elif field == 7:
+            blob = {}
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 7:  # shape
+                    for f3, w3, v3 in _iter_fields(v2):
+                        if f3 == 1:
+                            dims, p = [], 0
+                            while p < len(v3):
+                                d, p = _read_varint(v3, p)
+                                dims.append(d)
+                            blob["shape"] = dims
+                elif f2 == 5:  # packed data
+                    blob["data"] = np.frombuffer(v2, np.float32)
+            layer["blobs"].append(blob)
+    return layer
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    from demonet_tpu.models import mobilenet_v2
+
+    d = tmp_path_factory.mktemp("caffe")
+    m = mobilenet_v2(num_classes=7)
+    variables = jax.device_get(
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    net = export_caffe("mobilenet_v2", variables,
+                       str(d / "net.prototxt"), str(d / "net.caffemodel"),
+                       num_classes=7, input_size=64)
+    return d, variables, net
+
+
+def test_prototxt_structure(exported):
+    d, _, net = exported
+    txt = (d / "net.prototxt").read_text()
+    assert txt.startswith('name: "mobilenet_v2"')
+    assert txt.count("layer {") == len(net.layers)
+    assert 'type: "Convolution"' in txt
+    assert "group:" in txt  # depthwise convs present
+    assert 'type: "Eltwise"' in txt  # residual adds
+    assert 'type: "Softmax"' in txt
+
+
+def test_caffemodel_decodes_and_matches_weights(exported):
+    d, variables, net = exported
+    buf = (d / "net.caffemodel").read_bytes()
+    name = None
+    layers = []
+    for field, wire, val in _iter_fields(buf):
+        if field == 1:
+            name = val.decode()
+        elif field == 100:
+            layers.append(_parse_layer(val))
+    assert name == "mobilenet_v2"
+    assert len(layers) == len(net.layers)
+
+    by_name = {l["name"]: l for l in layers}
+    # stem conv weights: flax HWIO -> caffe OIHW
+    stem = by_name["stem"]
+    assert stem["type"] == "Convolution"
+    w = variables["params"]["features"]["stem"]["conv"]["kernel"]
+    got = stem["blobs"][0]
+    assert got["shape"] == [32, 3, 3, 3]
+    np.testing.assert_array_equal(
+        got["data"].reshape(32, 3, 3, 3),
+        np.transpose(np.asarray(w), (3, 2, 0, 1)))
+    # BN layer carries mean/var/scale-factor triple
+    bn = by_name["stem_bn"]
+    assert bn["type"] == "BatchNorm" and len(bn["blobs"]) == 3
+    assert bn["blobs"][2]["data"][0] == 1.0
+    # classifier InnerProduct has (O, I) weights
+    clf = by_name["classifier"]
+    assert clf["blobs"][0]["shape"] == [7, 1280]
+
+
+def test_unknown_family_raises():
+    with pytest.raises(ValueError):
+        export_caffe("ssd300_vgg16", {}, "/tmp/x", "/tmp/y")
