@@ -29,6 +29,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     normalize_in_step: bool = True,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
@@ -40,6 +41,13 @@ def make_train_step(
     """
     anchors = jnp.asarray(detector.anchors)
     config = detector.config
+
+    apply_fn = detector.model.apply
+    if remat:
+        # trade FLOPs for HBM: rematerialize activations in the backward
+        # pass (jax.checkpoint) — lets batch sizes grow past HBM limits
+        apply_fn = jax.checkpoint(
+            apply_fn, static_argnums=(2,), policy=None)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         images = batch["images"]

@@ -72,12 +72,12 @@ def ssdlite320_mobilenet_v3_large(
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = SSDLiteHead(tuple(num_anchors), num_classes, dtype=dtype)
-    config = SSDConfig(
-        size=size, num_classes=num_classes,
+    defaults = dict(
         image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
         score_thresh=0.001, nms_thresh=0.55,
-        detections_per_img=300, topk_candidates=300,
-        **config_overrides)
+        detections_per_img=300, topk_candidates=300)
+    config = SSDConfig(size=size, num_classes=num_classes,
+                       **{**defaults, **config_overrides})
     grids = feature_grid_sizes(extractor, size)
     boxes = anchor_lib.default_boxes(
         grids, size, aspect_ratios, min_ratio=0.2, max_ratio=0.95)
@@ -104,12 +104,12 @@ def _ssd_vgg16(
         steps = [8, 16, 32, 64, 100, 300]
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = SSDHead(tuple(num_anchors), num_classes, dtype=dtype)
-    config = SSDConfig(
-        size=size, num_classes=num_classes,
+    defaults = dict(
         # caffe-style normalization (reference ssd_vgg16.py:200-203)
         image_mean=(0.48235, 0.45882, 0.40784),
-        image_std=(1.0 / 255.0, 1.0 / 255.0, 1.0 / 255.0),
-        **config_overrides)
+        image_std=(1.0 / 255.0, 1.0 / 255.0, 1.0 / 255.0))
+    config = SSDConfig(size=size, num_classes=num_classes,
+                       **{**defaults, **config_overrides})
     grids = feature_grid_sizes(extractor, size)
     boxes = anchor_lib.default_boxes(
         grids, size, aspect_ratios, scales=scales, steps=steps)
@@ -148,12 +148,12 @@ def ssd_lite_mobilenet_v2(
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = SSDLiteHead(tuple(num_anchors), num_classes, dtype=dtype)
-    config = SSDConfig(
-        size=size, num_classes=num_classes,
+    defaults = dict(
         image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
         score_thresh=score_thresh, nms_thresh=0.45,
-        detections_per_img=100, topk_candidates=400,
-        **config_overrides)
+        detections_per_img=100, topk_candidates=400)
+    config = SSDConfig(size=size, num_classes=num_classes,
+                       **{**defaults, **config_overrides})
     grids = feature_grid_sizes(extractor, size)
     boxes = anchor_lib.default_boxes(
         grids, size, aspect_ratios, min_ratio=0.2, max_ratio=0.95)
@@ -177,12 +177,12 @@ def pelee304(
     aspect_ratios = [[2, 3]] * 5
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = Pelee1x1Head(tuple(num_anchors), num_classes, dtype=dtype)
-    config = SSDConfig(
-        size=size, num_classes=num_classes,
+    defaults = dict(
         image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
         score_thresh=score_thresh, nms_thresh=0.45,
-        detections_per_img=100, topk_candidates=400,
-        **config_overrides)
+        detections_per_img=100, topk_candidates=400)
+    config = SSDConfig(size=size, num_classes=num_classes,
+                       **{**defaults, **config_overrides})
     grids = feature_grid_sizes(extractor, size)
     # the paper's steps are defined for the 304 input; at other (test) sizes
     # fall back to grid-derived centers
