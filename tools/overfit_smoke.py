@@ -13,10 +13,15 @@ Usage: python tools/overfit_smoke.py [--steps 300] [--size 128]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# repo root importability when run as `python tools/overfit_smoke.py`
+# (do NOT use PYTHONPATH: it interferes with jax plugin discovery here)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class ShapesDataset:
