@@ -82,3 +82,42 @@ def annotate(name: str):
     """Named span in jax.profiler traces (TensorBoard/XProf)."""
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def jaxpr_to_dot(fn: Callable, *example_args: Any, max_nodes: int = 400) -> str:
+    """Render a function's jaxpr as graphviz dot text.
+
+    The compiler-graph visualization capability of the reference
+    (graph_utils.visualize renders TVM Relay graphs, graph_utils.py:36-130);
+    here the IR is the jaxpr. Feed the output to `dot -Tsvg`.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*example_args)
+    lines = ["digraph jaxpr {", "  rankdir=TB;",
+             '  node [shape=box, fontsize=10];']
+    produced = {}
+    for i, var in enumerate(jaxpr.jaxpr.invars):
+        name = f"in{i}"
+        produced[str(var)] = name
+        lines.append(f'  {name} [label="input {var.aval.str_short()}", '
+                     'style=filled, fillcolor=lightblue];')
+    for i, eqn in enumerate(jaxpr.jaxpr.eqns[:max_nodes]):
+        node = f"op{i}"
+        lines.append(f'  {node} [label="{eqn.primitive.name}"];')
+        for invar in eqn.invars:
+            src = produced.get(str(invar))
+            if src is not None:
+                lines.append(f"  {src} -> {node};")
+        for outvar in eqn.outvars:
+            produced[str(outvar)] = node
+    if len(jaxpr.jaxpr.eqns) > max_nodes:
+        lines.append(f'  truncated [label="... '
+                     f'{len(jaxpr.jaxpr.eqns) - max_nodes} more ops"];')
+    for i, var in enumerate(jaxpr.jaxpr.outvars):
+        name = f"out{i}"
+        lines.append(f'  {name} [label="output", style=filled, '
+                     'fillcolor=lightgreen];')
+        src = produced.get(str(var))
+        if src is not None:
+            lines.append(f"  {src} -> {name};")
+    lines.append("}")
+    return "\n".join(lines)

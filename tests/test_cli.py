@@ -1,0 +1,63 @@
+"""CLI surface tests: parsers expose the reference's flags with the
+reference's defaults (train.py:51-103, eval_voc.py:100-148)."""
+
+import jax.numpy as jnp
+
+
+def test_train_parser_defaults():
+    from demonet_tpu.train import get_args_parser
+
+    args = get_args_parser().parse_args([])
+    # reference recipe defaults (train.py:59-75)
+    assert args.lr == 0.02
+    assert args.momentum == 0.9
+    assert args.weight_decay == 1e-4
+    assert args.epochs == 26
+    assert args.lr_steps == [16, 22]
+    assert args.lr_gamma == 0.1
+    assert args.data_augmentation == "hflip"
+    assert not args.test_only
+
+
+def test_train_parser_flags():
+    from demonet_tpu.train import get_args_parser
+
+    args = get_args_parser().parse_args(
+        ["--model", "ssd300_vgg16", "--test-only", "--resume", "x",
+         "--data-augmentation", "ssd", "-b", "8", "--bf16"])
+    assert args.model == "ssd300_vgg16" and args.test_only
+    assert args.resume == "x" and args.batch_size == 8 and args.bf16
+
+
+def test_eval_voc_parser():
+    from demonet_tpu.eval_voc import get_args_parser
+
+    args = get_args_parser().parse_args([])
+    assert args.arch == "ssd_lite_mobilenet_v2"
+    assert args.num_classes == 21
+    assert args.image_size == 320
+
+
+def test_export_cli_parser():
+    from demonet_tpu.export.cli import get_args_parser
+
+    args = get_args_parser().parse_args(["--mlir", "m.mlir"])
+    assert args.model == "ssdlite320_mobilenet_v3_large"
+    assert args.mlir == "m.mlir"
+    assert args.platforms == "tpu"
+
+
+def test_predict_parser():
+    from demonet_tpu.predict import get_args_parser
+
+    args = get_args_parser().parse_args(["--images", "a.jpg", "b.jpg"])
+    assert args.images == ["a.jpg", "b.jpg"]
+    assert args.score_thresh == 0.5
+
+
+def test_jaxpr_to_dot():
+    from demonet_tpu.utils.debug import jaxpr_to_dot
+
+    dot = jaxpr_to_dot(lambda x: (x * 2 + 1).sum(), jnp.ones((4, 4)))
+    assert dot.startswith("digraph")
+    assert "mul" in dot and "add" in dot and "output" in dot
