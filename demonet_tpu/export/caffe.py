@@ -24,9 +24,11 @@ utils/torch_weights).
 Supported layer types: Input, Convolution (incl. depthwise via group),
 BatchNorm+Scale, ReLU (+ReLU6 as ReLU with documented clamp note), Pooling,
 InnerProduct, Eltwise(SUM), Concat, Softmax, Flatten, Permute, Reshape.
-Exportable families: mobilenet_v2 classifier and the SSDLite-MobileNetV3
-feature/head graph (raw detection outputs; decode+NMS belong to the
-SSD-fork DetectionOutput layer, emitted as a param-only layer).
+Exportable families: the mobilenet_v2 classifier and the
+ssd_lite_mobilenet_v2 detector (the model the reference's converter targets,
+export/convert.py:22) — trunk + extras + SSDLite heads with the classic SSD
+deploy tail (Permute/Flatten/Concat, conf Reshape+Softmax). Decode+NMS belong
+to the SSD-fork DetectionOutput stage consumed downstream.
 """
 
 from __future__ import annotations
@@ -197,6 +199,11 @@ class CaffeNet:
                                  {"axis": axis}))
         return name
 
+    def reshape(self, name: str, bottom: str, shape: Sequence[int]) -> str:
+        self.layers.append(Layer(name, "Reshape", [bottom], [name],
+                                 {"shape": list(shape)}))
+        return name
+
     # ---- serialization ----
 
     def to_prototxt(self, with_weights: bool = False) -> str:
@@ -272,6 +279,9 @@ def _layer_prototxt(layer: Layer) -> str:
         lines.append(f"  permute_param {{ {orders} }}")
     elif layer.type == "Flatten":
         lines.append(f"  flatten_param {{ axis: {p.get('axis', 1)} }}")
+    elif layer.type == "Reshape":
+        dims = " ".join(f"dim: {d}" for d in p["shape"])
+        lines.append(f"  reshape_param {{ shape {{ {dims} }} }}")
     lines.append("}")
     return "\n".join(lines)
 
@@ -328,6 +338,10 @@ def _layer_binary(layer: Layer) -> bytes:
         out += _message(104, _uint(2, p.get("axis", 1)))
     elif layer.type == "Softmax":
         out += _message(125, _uint(1, p.get("axis", 1)))
+    elif layer.type == "Reshape":
+        out += _message(133, _message(1, _packed_int64(
+            1, [d & 0xFFFFFFFFFFFFFFFF if d >= 0 else
+                (d + (1 << 64)) for d in p["shape"]])))
     elif layer.type == "Input":
         out += _message(147, _message(1, _packed_int64(1, p["input_shape"])))
     return out
@@ -403,10 +417,106 @@ def mobilenet_v2_to_caffe(variables: Dict, num_classes: int = 1000,
     return net
 
 
+def _mnv2_trunk_to_caffe(net: CaffeNet, p: Dict, s: Dict,
+                         tap_blocks: Sequence[int], bottom: str
+                         ) -> Tuple[str, List[str]]:
+    """MobileNetV2 features trunk; returns (final_top, tapped tops)."""
+    from demonet_tpu.models.mobilenetv2 import _V2_SETTING
+    from demonet_tpu.models.layers import make_divisible
+
+    taps = []
+    bottom = _conv_bn_act(net, "stem", bottom, p["stem"], s["stem"], stride=2)
+    i = 0
+    in_ch = make_divisible(32, 8)
+    for t, c, n, s_ in _V2_SETTING:
+        out_ch = make_divisible(c, 8)
+        for r in range(n):
+            stride = s_ if r == 0 else 1
+            bp, bs = p[f"blocks_{i}"], s[f"blocks_{i}"]
+            prefix = f"block{i}"
+            x = bottom
+            li = 0
+            if t != 1:
+                x = _conv_bn_act(net, f"{prefix}_expand", x,
+                                 bp[f"layers_{li}"], bs[f"layers_{li}"], pad=0)
+                li += 1
+            hidden = int(round(in_ch * t))
+            x = _conv_bn_act(net, f"{prefix}_dw", x, bp[f"layers_{li}"],
+                             bs[f"layers_{li}"], stride=stride, pad=1,
+                             group=hidden)
+            li += 1
+            x = _conv_bn_act(net, f"{prefix}_project", x, bp[f"layers_{li}"],
+                             bs[f"layers_{li}"], pad=0, act=False)
+            if stride == 1 and in_ch == out_ch:
+                x = net.eltwise_sum(f"{prefix}_add", bottom, x)
+            bottom = x
+            in_ch = out_ch
+            i += 1
+            if i in tap_blocks:
+                taps.append(bottom)
+    bottom = _conv_bn_act(net, "last_conv", bottom, p["last_conv"],
+                          s["last_conv"], pad=0)
+    return bottom, taps
+
+
+def ssd_lite_mobilenet_v2_to_caffe(variables: Dict, num_classes: int = 21,
+                                   input_size: int = 320) -> CaffeNet:
+    """The ssd_lite_mobilenet_v2 detector as an SSD-style Caffe deploy graph:
+    trunk + extras + SSDLite heads, per-level Permute+Flatten, Concat over
+    levels, Softmax on class scores. Decode+NMS belong to the SSD Caffe
+    fork's DetectionOutput stage and are left to the consumer (the reference
+    exported the same raw-head structure, onnx_export.py:24-32)."""
+    p = variables["params"]["extractor"]
+    st = variables["batch_stats"]["extractor"]
+    net = CaffeNet("ssd_lite_mobilenet_v2")
+    bottom = net.input("data", [1, 3, input_size, input_size])
+
+    final, taps = _mnv2_trunk_to_caffe(
+        net, p["trunk"], st["trunk"], tap_blocks=[13], bottom=bottom)
+    sources = taps + [final]
+    x = final
+    for e in range(4):
+        ep, es = p[f"extras_{e}"], st[f"extras_{e}"]
+        prefix = f"extra{e}"
+        x = _conv_bn_act(net, f"{prefix}_pw", x, ep["pw"], es["pw"], pad=0)
+        # depthwise channel count = conv output channels
+        dw_ch = np.asarray(ep["dw"]["conv"]["kernel"]).shape[-1]
+        x = _conv_bn_act(net, f"{prefix}_dw", x, ep["dw"], es["dw"],
+                         stride=2, pad=1, group=dw_ch)
+        x = _conv_bn_act(net, f"{prefix}_pw_linear", x, ep["pw_linear"],
+                         es["pw_linear"], pad=0, act=False)
+        sources.append(x)
+
+    hp = variables["params"]["head"]
+    hs = variables["batch_stats"]["head"]
+    loc_flats, conf_flats = [], []
+    for k, src in enumerate(sources):
+        for kind, store in (("reg", loc_flats), ("cls", conf_flats)):
+            head_p, head_s = hp[f"{kind}_{k}"], hs[f"{kind}_{k}"]
+            name = f"{kind}{k}"
+            dw_ch = np.asarray(head_p["dw"]["conv"]["kernel"]).shape[-1]
+            t = _conv_bn_act(net, f"{name}_dw", src, head_p["dw"],
+                             head_s["dw"], pad=1, group=dw_ch)
+            t = net.conv(f"{name}_pw", t, head_p["pw"]["kernel"],
+                         head_p["pw"].get("bias"), pad=0)
+            t = net.permute(f"{name}_perm", t, [0, 2, 3, 1])
+            t = net.flatten(f"{name}_flat", t)
+            store.append(t)
+    net.concat("mbox_loc", loc_flats, axis=1)
+    conf = net.concat("mbox_conf", conf_flats, axis=1)
+    conf = net.reshape("mbox_conf_reshape", conf, [0, -1, num_classes])
+    conf = net.softmax("mbox_conf_softmax", conf, axis=2)
+    net.flatten("mbox_conf_flatten", conf, axis=1)
+    return net
+
+
 def export_caffe(model_name: str, variables: Dict, prototxt_path: str,
                  caffemodel_path: str, **kwargs: Any) -> CaffeNet:
     """Top-level export (the reference's convert.py CLI flow)."""
-    builders = {"mobilenet_v2": mobilenet_v2_to_caffe}
+    builders = {
+        "mobilenet_v2": mobilenet_v2_to_caffe,
+        "ssd_lite_mobilenet_v2": ssd_lite_mobilenet_v2_to_caffe,
+    }
     if model_name not in builders:
         raise ValueError(
             f"Caffe export supports {sorted(builders)}; StableHLO export "

@@ -129,3 +129,24 @@ def test_caffemodel_decodes_and_matches_weights(exported):
 def test_unknown_family_raises():
     with pytest.raises(ValueError):
         export_caffe("ssd300_vgg16", {}, "/tmp/x", "/tmp/y")
+
+
+def test_detector_caffe_export(tmp_path):
+    import jax as _jax
+
+    from demonet_tpu.models import ssd_lite_mobilenet_v2
+
+    det = ssd_lite_mobilenet_v2(num_classes=5, size=(96, 96))
+    variables = _jax.device_get(det.init(_jax.random.PRNGKey(0)))
+    net = export_caffe("ssd_lite_mobilenet_v2", variables,
+                       str(tmp_path / "d.prototxt"),
+                       str(tmp_path / "d.caffemodel"),
+                       num_classes=5, input_size=96)
+    txt = (tmp_path / "d.prototxt").read_text()
+    assert txt.count('"Permute"') == 12        # 6 levels x (loc + conf)
+    assert txt.count('"Concat"') == 2          # mbox_loc + mbox_conf
+    assert '"Reshape"' in txt and '"Softmax"' in txt
+    assert "group:" in txt
+    # every conv blob present in the binary
+    buf = (tmp_path / "d.caffemodel").read_bytes()
+    assert len(buf) > 1_000_000
