@@ -20,7 +20,7 @@ same dedup semantics as the reference (coco_eval.py:183-184).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ Images are HWC numpy; uint8 until ToFloat. Targets are numpy dicts
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from demonet_tpu.models.detection import Detector, preprocess

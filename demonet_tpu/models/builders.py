@@ -18,11 +18,10 @@ Each detection builder returns a `Detector` (module + SSDConfig + anchors).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from demonet_tpu.models import anchors as anchor_lib

@@ -24,14 +24,12 @@ from flax import linen as nn
 
 from demonet_tpu.models.layers import (
     ConvBNAct,
-    InvertedResidualV2,
     NORMAL_003,
     make_divisible,
     relu6,
 )
 from demonet_tpu.models.mobilenetv2 import MobileNetV2Features
 from demonet_tpu.models.mobilenetv3 import (
-    BlockConfig,
     MobileNetV3Features,
     mobilenet_v3_conf,
 )

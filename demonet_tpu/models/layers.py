@@ -16,7 +16,7 @@ params/BN statistics.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,7 +12,7 @@ Capability parity with the reference (demonet/models/mobilenetv3.py):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,7 +14,7 @@ Replaces the reference's `init_distributed_mode` / rank plumbing
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ zero updates, and the mask is explicit state instead of module mutation.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import optax

@@ -192,7 +192,6 @@ def mobilenet_v2_key_map(width_mult: float = 1.0) -> List[MapEntry]:
     note the final conv+bn are two separate entries, not a CBA.
     """
     from demonet_tpu.models.mobilenetv2 import _V2_SETTING
-    from demonet_tpu.models.layers import make_divisible
 
     entries = _conv_bn("features/stem", "features.0")
     i = 0

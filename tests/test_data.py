@@ -10,8 +10,8 @@ import pytest
 from demonet_tpu.data import transforms as T
 from demonet_tpu.data.coco import CocoDetection
 from demonet_tpu.data.coco_eval import CocoEvaluator
-from demonet_tpu.data.voc import VOCDetection, parse_voc_xml
-from demonet_tpu.data.voc_eval import VocEvaluator, voc_ap, voc_eval
+from demonet_tpu.data.voc import VOCDetection
+from demonet_tpu.data.voc_eval import VocEvaluator, voc_ap
 
 
 # ---------- fixtures ----------

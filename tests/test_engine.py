@@ -15,7 +15,6 @@ from demonet_tpu.engine import (
     make_optimizer,
     make_predict_step,
     make_train_step,
-    train_one_epoch,
 )
 from demonet_tpu.models import ssdlite320_mobilenet_v3_large
 
