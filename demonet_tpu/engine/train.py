@@ -41,12 +41,13 @@ def make_train_step(
     anchors = jnp.asarray(detector.anchors)
     config = detector.config
 
-    apply_fn = detector.model.apply
-    if remat:
-        # trade FLOPs for HBM: rematerialize activations in the backward
-        # pass (jax.checkpoint) — lets batch sizes grow past HBM limits
-        apply_fn = jax.checkpoint(
-            apply_fn, static_argnums=(2,), policy=None)
+    def _apply_train(variables, images):
+        return detector.model.apply(
+            variables, images, train=True, mutable=["batch_stats"])
+
+    # remat trades FLOPs for HBM: rematerialize activations in the backward
+    # pass (jax.checkpoint) so batch sizes can grow past HBM limits
+    apply_fn = jax.checkpoint(_apply_train) if remat else _apply_train
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         images = batch["images"]
@@ -54,9 +55,8 @@ def make_train_step(
             images = preprocess(images, config, resize=False)
 
         def loss_fn(params):
-            outputs, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+            outputs, mutated = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats}, images)
             losses = multibox_loss(
                 outputs["cls_logits"], outputs["bbox_regression"], anchors,
                 batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],

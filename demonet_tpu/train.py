@@ -45,6 +45,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                         choices=["hflip", "ssd"])
     parser.add_argument("--max-gt", default=100, type=int,
                         help="ground-truth padding per image")
+    parser.add_argument("--trainable-backbone-layers", default=None, type=int,
+                        help="stages to train from the top (0..6); None = all"
+                             " (reference train.py flag semantics)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize activations (jax.checkpoint)")
     parser.add_argument("--test-only", dest="test_only", action="store_true")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
@@ -123,6 +128,15 @@ def main(args) -> None:
         args.lr, steps_per_epoch, args.lr_steps, args.lr_gamma,
         args.warmup_iters)
     tx = make_optimizer(schedule, args.momentum, args.weight_decay)
+    if args.trainable_backbone_layers is not None:
+        from demonet_tpu.utils.freeze import (
+            masked_optimizer, mobilenet_trainable_mask)
+
+        variables0 = detector.init(jax.random.PRNGKey(args.seed))
+        mask = mobilenet_trainable_mask(
+            variables0["params"], args.trainable_backbone_layers)
+        tx = masked_optimizer(tx, mask)
+        del variables0
     state = create_train_state(detector, jax.random.PRNGKey(args.seed), tx)
     state = jax.device_put(state, replicate(mesh))
 
@@ -132,7 +146,7 @@ def main(args) -> None:
         start_epoch = epoch + 1
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    train_step = make_train_step(detector, mesh=mesh)
+    train_step = make_train_step(detector, mesh=mesh, remat=args.remat)
     predict_step = make_predict_step(detector, mesh=mesh)
 
     if args.test_only:
