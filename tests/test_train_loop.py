@@ -38,5 +38,10 @@ def test_train_one_epoch_advances_state(capsys):
     assert int(state.step) == len(loader)
     out = capsys.readouterr().out
     assert "Epoch: [0]" in out and "loss" in out and "lr" in out
-    # warmup: lr far below base at step 2
-    assert float(schedule(1)) < 0.001
+    # warmup semantics (reference warmup_lr_scheduler, misc.py:239-247):
+    # with a long epoch, lr at step 1 is ~base/1000; milestones decay by 0.1
+    long = make_lr_schedule(0.02, steps_per_epoch=2000, milestones=[1, 2])
+    assert float(long(1)) < 0.02 / 100          # deep in warmup
+    assert abs(float(long(1999)) - 0.02) < 1e-6  # end of epoch 0
+    assert abs(float(long(2000)) - 0.002) < 1e-6  # decay at epoch 1
+    assert abs(float(long(4100)) - 0.0002) < 1e-7  # second decay
