@@ -191,6 +191,18 @@ class CocoEvaluator:
             "num_gt": int((~g_ignore).sum()),
         }
 
+    def _relevant_images(self, cat: int) -> List[int]:
+        """Images with any gt or dt of this category (skips the quadratic
+        empty-pair walk — pycocotools achieves this via its index)."""
+        out = []
+        for img_id in sorted(self.gts):
+            g = self.gts[img_id]
+            d = self.detections.get(img_id)
+            if (g["labels"] == cat).any() or (
+                    d is not None and (d["labels"] == cat).any()):
+                out.append(img_id)
+        return out
+
     def accumulate(self) -> None:
         k_n = len(self.category_ids)
         a_n = len(AREA_RANGES)
@@ -198,26 +210,33 @@ class CocoEvaluator:
         t_n, r_n = len(IOU_THRS), len(REC_THRS)
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
-        img_ids = sorted(self.gts)
+        max_det_all = max(MAX_DETS)
 
         for ki, cat in enumerate(self.category_ids):
+            img_ids = self._relevant_images(cat)
             for ai, (_, rng) in enumerate(AREA_RANGES.items()):
+                # match once per (cat, img, area) at the largest maxDet;
+                # smaller maxDets are per-image truncations (the pycocotools
+                # accumulate convention).
+                per_img = [
+                    self._evaluate_img(cat, i, rng, max_det_all)
+                    for i in img_ids]
+                per_img = [e for e in per_img if e is not None]
+                if not per_img:
+                    continue
+                num_gt = sum(e["num_gt"] for e in per_img)
+                if num_gt == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    per_img = [
-                        self._evaluate_img(cat, i, rng, max_det)
-                        for i in img_ids]
-                    per_img = [e for e in per_img if e is not None]
-                    if not per_img:
-                        continue
-                    scores = np.concatenate([e["dt_scores"] for e in per_img])
+                    scores = np.concatenate(
+                        [e["dt_scores"][:max_det] for e in per_img])
                     order = np.argsort(-scores, kind="mergesort")
                     matched = np.concatenate(
-                        [e["dt_matched"] for e in per_img], axis=1)[:, order]
+                        [e["dt_matched"][:, :max_det] for e in per_img],
+                        axis=1)[:, order]
                     ignored = np.concatenate(
-                        [e["dt_ignore"] for e in per_img], axis=1)[:, order]
-                    num_gt = sum(e["num_gt"] for e in per_img)
-                    if num_gt == 0:
-                        continue
+                        [e["dt_ignore"][:, :max_det] for e in per_img],
+                        axis=1)[:, order]
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored
                     tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
@@ -228,15 +247,11 @@ class CocoEvaluator:
                         pr = tp / np.maximum(tp + fp, np.spacing(1))
                         recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
                         # precision envelope (monotone from the right)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
+                        pr_env = np.maximum.accumulate(pr[::-1])[::-1]
                         inds = np.searchsorted(rc, REC_THRS, side="left")
                         q = np.zeros(r_n)
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        valid = inds < len(pr_env)
+                        q[valid] = pr_env[inds[valid]]
                         precision[ti, :, ki, ai, mi] = q
         self._eval = {"precision": precision, "recall": recall}
 

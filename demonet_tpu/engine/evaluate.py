@@ -28,6 +28,8 @@ from demonet_tpu.utils.logging import MetricLogger
 def make_predict_step(
     detector: Detector,
     mesh: Optional[Mesh] = None,
+    nms_impl: str = "auto",
+    topk_impl: str = "exact",
 ) -> Callable:
     """Jitted (variables, images, original_sizes) -> padded detections."""
     anchors = jnp.asarray(detector.anchors)
@@ -38,7 +40,7 @@ def make_predict_step(
         outputs = detector.model.apply(variables, x, train=False)
         return postprocess_detections(
             outputs["cls_logits"], outputs["bbox_regression"], anchors,
-            config, original_sizes)
+            config, original_sizes, nms_impl=nms_impl, topk_impl=topk_impl)
 
     if mesh is None:
         return jax.jit(step)

@@ -123,6 +123,7 @@ def postprocess_detections(
     config: SSDConfig,
     original_sizes: Optional[jnp.ndarray] = None,
     nms_impl: str = "auto",
+    topk_impl: str = "exact",
 ) -> Dict[str, jnp.ndarray]:
     """Batched decode + class-wise NMS (+ rescale to original image sizes).
 
@@ -150,7 +151,12 @@ def postprocess_detections(
 
     k = min(config.topk_candidates, a)
     fg_scores = jnp.swapaxes(scores[..., 1:], 1, 2)  # (B, C-1, A)
-    top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # (B, C-1, k), sorted desc
+    if topk_impl == "approx":
+        # opt-in serving mode: TPU PartialReduce top-k (not bit-exact
+        # reference parity; see DESIGN.md)
+        top_sc, top_idx = jax.lax.approx_max_k(fg_scores, k)
+    else:
+        top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # sorted desc
     cand_boxes = jax.vmap(lambda bx, ix: jnp.take(bx, ix, axis=0))(
         boxes, top_idx.reshape(b, -1)).reshape(b, c - 1, k, 4)
     # Score-threshold filter (strict >, generalized_ssd.py:371).
