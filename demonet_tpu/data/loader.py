@@ -48,6 +48,7 @@ class DetectionLoader:
         pad_last_batch: bool = True,
         native_decode: bool = False,
         native_threads: int = 4,
+        batch_sampler=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -60,6 +61,10 @@ class DetectionLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.pad_last_batch = pad_last_batch
+        # optional index-batch sampler (e.g. GroupedBatchSampler) replacing
+        # the default shuffled/sharded index stream (reference
+        # train.py:130-135 aspect-ratio grouping)
+        self.batch_sampler = batch_sampler
         self.epoch = 0
         # Native C++ decode+resize fast path (cpp/imageio.cc): bypasses
         # Python-side augmentations, so it's an eval/serving path.
@@ -82,6 +87,9 @@ class DetectionLoader:
         """Reshuffle per epoch (reference DistributedSampler.set_epoch,
         train.py:188)."""
         self.epoch = epoch
+        if self.batch_sampler is not None and hasattr(
+                self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -193,6 +201,10 @@ class DetectionLoader:
         return out
 
     def _batch_indices(self) -> Iterator[np.ndarray]:
+        if self.batch_sampler is not None:
+            for chunk in self.batch_sampler:
+                yield np.asarray(chunk)
+            return
         idx = self._indices()
         n = len(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n

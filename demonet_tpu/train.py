@@ -43,6 +43,9 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--start-epoch", default=0, type=int)
     parser.add_argument("--data-augmentation", default="hflip",
                         choices=["hflip", "ssd"])
+    parser.add_argument("--aspect-ratio-group-factor", default=-1, type=int,
+                        help="k for 2^linspace(-1,1,2k+1) aspect bins; -1 off"
+                             " (reference train.py:130-135)")
     parser.add_argument("--max-gt", default=100, type=int,
                         help="ground-truth padding per image")
     parser.add_argument("--trainable-backbone-layers", default=None, type=int,
@@ -119,8 +122,18 @@ def main(args) -> None:
     loader_kw = dict(
         image_size=size, max_gt=args.max_gt, seed=args.seed,
         num_shards=jax.process_count(), shard_index=jax.process_index())
+    batch_sampler = None
+    if args.aspect_ratio_group_factor >= 0:
+        from demonet_tpu.data.group_by_aspect_ratio import (
+            GroupedBatchSampler, create_aspect_ratio_groups)
+
+        group_ids = create_aspect_ratio_groups(
+            ds_train, k=args.aspect_ratio_group_factor)
+        batch_sampler = GroupedBatchSampler(
+            group_ids, args.batch_size, seed=args.seed)
     train_loader = DetectionLoader(
-        ds_train, args.batch_size, shuffle=True, drop_last=True, **loader_kw)
+        ds_train, args.batch_size, shuffle=True, drop_last=True,
+        batch_sampler=batch_sampler, **loader_kw)
     val_loader = DetectionLoader(ds_val, args.batch_size, **loader_kw)
 
     steps_per_epoch = len(train_loader)
