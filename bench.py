@@ -46,7 +46,8 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / ITERS
     throughput = BATCH / dt
 
-    # batch-1 p50 latency
+    # batch-1 latency: per-call blocking p50 (includes host/tunnel sync) and
+    # pipelined (amortized device time per inference)
     images1 = jnp.zeros((1, 320, 320, 3), jnp.float32)
     jax.block_until_ready(jf(variables, images1))
     lats = []
@@ -56,6 +57,12 @@ def main() -> None:
         lats.append(time.perf_counter() - t0)
     lats.sort()
     p50_ms = lats[len(lats) // 2] * 1000.0
+    t0 = time.perf_counter()
+    out1 = None
+    for _ in range(ITERS):
+        out1 = jf(variables, images1)
+    jax.block_until_ready(out1)
+    b1_pipelined_ms = (time.perf_counter() - t0) / ITERS * 1000.0
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -79,6 +86,7 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
         "p50_latency_b1_ms": round(p50_ms, 3),
+        "b1_pipelined_ms": round(b1_pipelined_ms, 3),
         "batch": BATCH,
         "device": str(jax.devices()[0]),
     }))
