@@ -125,11 +125,16 @@ class MetricLogger:
             total = None
         space = len(str(total)) if total else 6
 
+        from demonet_tpu.parallel.dist import is_main_process
+
+        # rank-0-only printing (reference setup_for_distributed,
+        # misc.py:258-270)
+        main = is_main_process()
         for obj in iterable:
             data_time.update(time.time() - end)
             yield obj
             iter_time.update(time.time() - end)
-            if i % print_freq == 0 or (total and i == total - 1):
+            if main and (i % print_freq == 0 or (total and i == total - 1)):
                 if total:
                     eta_seconds = iter_time.global_avg * (total - i)
                     eta = str(datetime.timedelta(seconds=int(eta_seconds)))
@@ -146,6 +151,7 @@ class MetricLogger:
 
         elapsed = time.time() - start_time
         per_it = elapsed / max(i, 1)
-        print(f"{header} Total time: "
-              f"{str(datetime.timedelta(seconds=int(elapsed)))} "
-              f"({per_it:.4f} s / it)")
+        if main:
+            print(f"{header} Total time: "
+                  f"{str(datetime.timedelta(seconds=int(elapsed)))} "
+                  f"({per_it:.4f} s / it)")
