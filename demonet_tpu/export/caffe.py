@@ -24,11 +24,13 @@ utils/torch_weights).
 Supported layer types: Input, Convolution (incl. depthwise via group),
 BatchNorm+Scale, ReLU (+ReLU6 as ReLU with documented clamp note), Pooling,
 InnerProduct, Eltwise(SUM), Concat, Softmax, Flatten, Permute, Reshape.
-Exportable families: the mobilenet_v2 classifier and the
+Exportable families: the mobilenet_v2 classifier, the
 ssd_lite_mobilenet_v2 detector (the model the reference's converter targets,
-export/convert.py:22) — trunk + extras + SSDLite heads with the classic SSD
-deploy tail (Permute/Flatten/Concat, conf Reshape+Softmax). Decode+NMS belong
-to the SSD-fork DetectionOutput stage consumed downstream.
+export/convert.py:22), and ssd300_vgg16 (the SSD Caffe fork's original home:
+Normalize conv4_3 layer, floor/ceil pooling round modes, atrous FC6) — each
+with the classic SSD deploy tail (Permute/Flatten/Concat, conf
+Reshape+Softmax). Decode+NMS belong to the SSD-fork DetectionOutput stage
+consumed downstream.
 """
 
 from __future__ import annotations
@@ -158,11 +160,21 @@ class CaffeNet:
 
     def pool(self, name: str, bottom: str, kernel: int, stride: int,
              method: str = "MAX", pad: int = 0,
-             global_pooling: bool = False) -> str:
+             global_pooling: bool = False, ceil_mode: bool = True) -> str:
         self.layers.append(Layer(
             name, "Pooling", [bottom], [name],
             {"pool": 0 if method == "MAX" else 1, "kernel_size": kernel,
-             "stride": stride, "pad": pad, "global_pooling": global_pooling}))
+             "stride": stride, "pad": pad, "global_pooling": global_pooling,
+             "round_mode": 0 if ceil_mode else 1}))
+        return name
+
+    def normalize(self, name: str, bottom: str, scale: np.ndarray) -> str:
+        """SSD-fork Normalize layer (per-channel L2 rescale, the conv4_3
+        trick); blob = learned per-channel scales."""
+        self.layers.append(Layer(
+            name, "Normalize", [bottom], [name],
+            {"across_spatial": False, "channel_shared": False},
+            [np.asarray(scale)]))
         return name
 
     def inner_product(self, name: str, bottom: str, weight: np.ndarray,
@@ -261,6 +273,8 @@ def _layer_prototxt(layer: Layer) -> str:
                          "global_pooling: true }")
         else:
             extra = f" pad: {p['pad']}" if p.get("pad") else ""
+            if p.get("round_mode", 0) == 1:
+                extra += " round_mode: FLOOR"
             lines.append(
                 f"  pooling_param {{ pool: {method} "
                 f"kernel_size: {p['kernel_size']} stride: {p['stride']}"
@@ -282,6 +296,9 @@ def _layer_prototxt(layer: Layer) -> str:
     elif layer.type == "Reshape":
         dims = " ".join(f"dim: {d}" for d in p["shape"])
         lines.append(f"  reshape_param {{ shape {{ {dims} }} }}")
+    elif layer.type == "Normalize":
+        lines.append("  norm_param { across_spatial: false "
+                     "channel_shared: false }")
     lines.append("}")
     return "\n".join(lines)
 
@@ -329,7 +346,13 @@ def _layer_binary(layer: Layer) -> bytes:
         pp += _uint(3, p.get("stride", 1))
         if p.get("global_pooling"):
             pp += _bool(12, True)
+        if p.get("round_mode", 0) == 1:
+            pp += _uint(13, 1)  # FLOOR
         out += _message(103, pp)  # pooling_param = 103
+    elif layer.type == "Normalize":
+        # SSD-fork NormalizeParameter (norm_param = 206 in the SSD branch):
+        # across_spatial=1, channel_shared=3
+        out += _message(206, _bool(1, False) + _bool(3, False))
     elif layer.type == "InnerProduct":
         out += _message(117, _uint(1, p["num_output"]))
     elif layer.type == "Eltwise":
@@ -510,12 +533,79 @@ def ssd_lite_mobilenet_v2_to_caffe(variables: Dict, num_classes: int = 21,
     return net
 
 
+def ssd300_vgg16_to_caffe(variables: Dict, num_classes: int = 91,
+                          input_size: int = 300) -> CaffeNet:
+    """SSD300-VGG16 as the classic SSD Caffe deploy graph (the original
+    SSD's home format): VGG trunk with floor-mode pools 1/2/4 + ceil pool3,
+    conv4_3 Normalize, atrous FC6, extras, plain-conv heads, SSD tail."""
+    p = variables["params"]["extractor"]
+    net = CaffeNet("ssd300_vgg16")
+    bottom = net.input("data", [1, 3, input_size, input_size])
+
+    def conv_relu(name, stride=1, pad=1, dilation=1, src=None):
+        nonlocal bottom
+        src = src or bottom
+        cp = p[name]
+        bottom = net.conv(name, src, cp["kernel"], cp.get("bias"),
+                          stride=stride, pad=pad, dilation=dilation)
+        bottom = net.relu(f"{name}_relu", bottom)
+        return bottom
+
+    for n in ("conv1_1", "conv1_2"):
+        conv_relu(n)
+    bottom = net.pool("pool1", bottom, 2, 2, ceil_mode=False)
+    for n in ("conv2_1", "conv2_2"):
+        conv_relu(n)
+    bottom = net.pool("pool2", bottom, 2, 2, ceil_mode=False)
+    for n in ("conv3_1", "conv3_2", "conv3_3"):
+        conv_relu(n)
+    bottom = net.pool("pool3", bottom, 2, 2, ceil_mode=True)
+    for n in ("conv4_1", "conv4_2", "conv4_3"):
+        conv_relu(n)
+    conv4_3 = bottom
+    sources = [net.normalize("conv4_3_norm", conv4_3, p["scale_weight"])]
+
+    bottom = net.pool("pool4", conv4_3, 2, 2, ceil_mode=False)
+    for n in ("conv5_1", "conv5_2", "conv5_3"):
+        conv_relu(n)
+    bottom = net.pool("pool5", bottom, 3, 1, pad=1)
+    conv_relu("fc6", pad=6, dilation=6)
+    conv_relu("fc7", pad=0)
+    sources.append(bottom)
+    for a, b2, stride, pad in (("conv8_1", "conv8_2", 2, 1),
+                               ("conv9_1", "conv9_2", 2, 1),
+                               ("conv10_1", "conv10_2", 1, 0),
+                               ("conv11_1", "conv11_2", 1, 0)):
+        conv_relu(a, pad=0)
+        conv_relu(b2, stride=stride, pad=pad)
+        sources.append(bottom)
+
+    hp = variables["params"]["head"]
+    loc_flats, conf_flats = [], []
+    for k, src in enumerate(sources):
+        for kind, store in (("reg", loc_flats), ("cls", conf_flats)):
+            head_p = hp[f"{kind}_{k}"]
+            name = f"{kind}{k}"
+            t = net.conv(f"{name}_conv", src, head_p["kernel"],
+                         head_p.get("bias"), pad=1)
+            t = net.permute(f"{name}_perm", t, [0, 2, 3, 1])
+            t = net.flatten(f"{name}_flat", t)
+            store.append(t)
+    net.concat("mbox_loc", loc_flats, axis=1)
+    conf = net.concat("mbox_conf", conf_flats, axis=1)
+    conf = net.reshape("mbox_conf_reshape", conf, [0, -1, num_classes])
+    conf = net.softmax("mbox_conf_softmax", conf, axis=2)
+    net.flatten("mbox_conf_flatten", conf, axis=1)
+    return net
+
+
 def export_caffe(model_name: str, variables: Dict, prototxt_path: str,
                  caffemodel_path: str, **kwargs: Any) -> CaffeNet:
     """Top-level export (the reference's convert.py CLI flow)."""
     builders = {
         "mobilenet_v2": mobilenet_v2_to_caffe,
         "ssd_lite_mobilenet_v2": ssd_lite_mobilenet_v2_to_caffe,
+        "ssd300_vgg16": ssd300_vgg16_to_caffe,
     }
     if model_name not in builders:
         raise ValueError(

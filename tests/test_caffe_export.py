@@ -128,7 +128,7 @@ def test_caffemodel_decodes_and_matches_weights(exported):
 
 def test_unknown_family_raises():
     with pytest.raises(ValueError):
-        export_caffe("ssd300_vgg16", {}, "/tmp/x", "/tmp/y")
+        export_caffe("pelee304", {}, "/tmp/x", "/tmp/y")
 
 
 def test_detector_caffe_export(tmp_path):
@@ -150,3 +150,28 @@ def test_detector_caffe_export(tmp_path):
     # every conv blob present in the binary
     buf = (tmp_path / "d.caffemodel").read_bytes()
     assert len(buf) > 1_000_000
+
+
+def test_vgg_caffe_export(tmp_path):
+    import jax as _jax
+
+    from demonet_tpu.models import ssd300_vgg16
+
+    det = ssd300_vgg16(num_classes=6)
+    variables = _jax.device_get(det.init(_jax.random.PRNGKey(0)))
+    export_caffe("ssd300_vgg16", variables,
+                 str(tmp_path / "v.prototxt"), str(tmp_path / "v.caffemodel"),
+                 num_classes=6, input_size=300)
+    txt = (tmp_path / "v.prototxt").read_text()
+    assert txt.count('"Normalize"') == 1         # conv4_3 L2 rescale
+    assert txt.count("FLOOR") == 3               # pools 1/2/4
+    assert "dilation: 6" in txt                  # atrous fc6
+    # binary decodes; fc6 blob has the atrous conv shape
+    buf = (tmp_path / "v.caffemodel").read_bytes()
+    layers = {}
+    for field, wire, val in _iter_fields(buf):
+        if field == 100:
+            l = _parse_layer(val)
+            layers[l["name"]] = l
+    assert layers["fc6"]["blobs"][0]["shape"] == [1024, 512, 3, 3]
+    assert layers["conv4_3_norm"]["blobs"][0]["shape"] == [512]
