@@ -95,6 +95,7 @@ def train_one_epoch(
     print_freq: int = 20,
     lr_schedule: Optional[Callable] = None,
     mesh: Optional[Mesh] = None,
+    metrics_writer=None,
 ) -> TrainState:
     """Epoch loop with MetricLogger output (reference engine.py:14-56).
 
@@ -119,6 +120,11 @@ def train_one_epoch(
             sys.exit(1)
 
         lr = float(lr_schedule(state.step)) if lr_schedule is not None else 0.0
-        logger.update(lr=lr, **{k: float(v) for k, v in metrics.items()})
+        scalars = {k: float(v) for k, v in metrics.items()}
+        logger.update(lr=lr, **scalars)
+        if metrics_writer is not None:
+            metrics_writer.write(int(state.step), dict(scalars, lr=lr))
 
+    if metrics_writer is not None:
+        metrics_writer.flush()
     return state

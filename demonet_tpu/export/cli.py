@@ -28,6 +28,8 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                    help="comma-separated lowering platforms (tpu, cpu)")
     p.add_argument("--raw-outputs", action="store_true",
                    help="export backbone+heads only (no decode/NMS)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the exported program")
     return p
 
 
@@ -38,7 +40,11 @@ def main(args) -> None:
         export_detector, save_exported, save_stablehlo_text)
     from demonet_tpu.models import get_model
 
-    detector = get_model(args.model, num_classes=args.num_classes)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    detector = get_model(args.model, num_classes=args.num_classes,
+                         dtype=dtype)
     variables = detector.init(jax.random.PRNGKey(0))
 
     if args.torch_weights:

@@ -57,6 +57,8 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay fp32)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also write tf.summary scalars")
     return parser
 
 
@@ -167,13 +169,18 @@ def main(args) -> None:
                  mesh=mesh)
         return
 
+    from demonet_tpu.utils.metrics_writer import MetricsWriter
+
+    writer = MetricsWriter(args.output_dir or ".",
+                           tensorboard=args.tensorboard)
     print("Start training")
     start = time.time()
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
         state = train_one_epoch(
             train_step, state, train_loader, epoch,
-            print_freq=args.print_freq, lr_schedule=schedule, mesh=mesh)
+            print_freq=args.print_freq, lr_schedule=schedule, mesh=mesh,
+            metrics_writer=writer)
         if args.output_dir:
             save_checkpoint(args.output_dir, jax.device_get(state), epoch,
                             metadata={"args": vars(args)})

@@ -124,3 +124,16 @@ def test_grouped_batch_sampler():
     assert len(batches) == 4
     for b in batches:
         assert len({groups[i] for i in b}) == 1  # homogeneous batches
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from demonet_tpu.utils.metrics_writer import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, {"loss": 2.5, "lr": 0.01})
+    w.write(2, {"loss": 2.0, "lr": 0.01})
+    lines = [json.loads(x) for x in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["train/loss"] == 2.5 and lines[1]["step"] == 2
