@@ -13,14 +13,22 @@ implemented from its published semantics:
   * precision envelope (monotone non-increasing) sampled at the recall grid
   * the standard 12-number summary printout
 
-`synchronize_between_processes` merges detections across hosts with
-array all-gather and de-duplicates repeated image ids from padded sharding —
-same dedup semantics as the reference (coco_eval.py:183-184).
+`synchronize_between_processes` merges detections across hosts by pickling
+the per-host detection dict and transporting the bytes with an array
+all-gather (same object-gather semantics as the reference, misc.py:75-115,
+with jax collectives as the transport), de-duplicating repeated image ids
+from padded sharding (reference coco_eval.py:183-184).
+
+Matching is vectorized: the greedy assignment is sequential in detections
+(each choice consumes ground truths) but independent across the 10 IoU
+thresholds x 4 area ranges, so all 40 problems run as one batched numpy
+loop over detections. Golden-validated against hand-derived protocol
+outputs and the round-1 scalar implementation (tests/test_coco_eval.py).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -33,6 +41,56 @@ AREA_RANGES = {
     "large": (96.0 ** 2, 1e10),
 }
 MAX_DETS = (1, 10, 100)
+_AREA_LO_HI = (np.asarray([lo for lo, _ in AREA_RANGES.values()]),
+               np.asarray([hi for _, hi in AREA_RANGES.values()]))
+
+
+def _match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
+                  g_crowd: np.ndarray, thr: np.ndarray) -> np.ndarray:
+    """Batched greedy COCO matching.
+
+    ious: (D, G) detection x gt overlaps (detections already score-sorted).
+    g_ignore: (P, G) per-problem gt ignore flags.
+    g_crowd: (G,) crowd flags (crowd gts stay available after matching).
+    thr: (P,) effective IoU thresholds.
+    Returns dtm: (P, D) matched gt index or -1.
+
+    The protocol's scan (gts stably sorted non-ignored-first, running max
+    updated on iou >= best, early break at the ignored suffix once a
+    non-ignored match exists) is equivalent to: among still-available gts
+    with iou >= thr, take the LAST argmax over non-ignored candidates if
+    any exist, else the LAST argmax over ignored candidates — "last" in
+    original gt order, which the stable sort preserves within each tier.
+    Sequential in D (each match consumes a non-crowd gt), vectorized over P.
+    """
+    p_n = len(thr)
+    d_n, g_n = ious.shape
+    dtm = np.full((p_n, d_n), -1, np.int64)
+    if d_n == 0 or g_n == 0:
+        return dtm
+    gt_taken = np.zeros((p_n, g_n), bool)
+    not_crowd = ~g_crowd[None, :]
+    thr_col = thr[:, None]
+    neg_inf = -np.inf
+    for d in range(d_n):
+        iou_d = ious[d][None, :]                       # (1, G)
+        avail = ~(gt_taken & not_crowd)                # (P, G)
+        cand = avail & (iou_d >= thr_col)              # (P, G)
+        cand_ni = cand & ~g_ignore
+        cand_ig = cand & g_ignore
+        # last argmax: argmax of the reversed masked row gives the last
+        # maximal element in original order
+        masked_ni = np.where(cand_ni, iou_d, neg_inf)[:, ::-1]
+        masked_ig = np.where(cand_ig, iou_d, neg_inf)[:, ::-1]
+        m_ni = g_n - 1 - np.argmax(masked_ni, axis=1)
+        m_ig = g_n - 1 - np.argmax(masked_ig, axis=1)
+        has_ni = cand_ni.any(axis=1)
+        has_ig = cand_ig.any(axis=1)
+        m = np.where(has_ni, m_ni, np.where(has_ig, m_ig, -1))
+        rows = np.nonzero(m >= 0)[0]
+        dtm[rows, d] = m[rows]
+        gt_taken[rows, m[rows]] = True
+    return dtm
 
 
 def _iou_xyxy(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
@@ -121,87 +179,119 @@ class CocoEvaluator:
 
     # ---- core evaluation ----
 
-    def _evaluate_img(self, cat: int, img_id: int, area_rng, max_det: int):
+    def _evaluate_cat_img(self, cat: int, img_id: int):
+        """Greedy-match all (area_range x iou_threshold) problems for one
+        (category, image) pair in one vectorized pass.
+
+        Protocol notes (COCOeval semantics):
+          * detections sorted score-descending (stable) and truncated to
+            max(MAX_DETS) BEFORE matching; smaller maxDets are per-image
+            truncations applied later in accumulate().
+          * a gt is "ignored" for a range if it is crowd or its area is
+            outside the range; the per-detection scan prefers non-ignored
+            gts, consumes non-crowd gts on match, ties go to the LATER gt
+            (running max updates on >=), and the scan considers ignored gts
+            only when no non-ignored candidate reached the threshold —
+            the two-tier last-argmax in _match_greedy.
+          * a detection is ignored if matched to an ignored gt, or
+            unmatched with area outside the range.
+        Returns None if the image has neither gt nor dt of this category,
+        else dict(dt_scores (D,), dt_matched (A,T,D), dt_ignore (A,T,D),
+        num_gt (A,)).
+        """
         gt_all = self.gts.get(img_id)
         if gt_all is None:
             return None
         gm = gt_all["labels"] == cat
-        det = self.detections.get(
-            img_id, {"boxes": np.zeros((0, 4)), "scores": np.zeros(0),
-                     "labels": np.zeros(0, np.int64)})
-        dm = det["labels"] == cat
+        det = self.detections.get(img_id)
+        dm = (det["labels"] == cat) if det is not None else np.zeros(0, bool)
         if not gm.any() and not dm.any():
             return None
 
         g_boxes = gt_all["boxes"][gm]
         g_crowd = gt_all["iscrowd"][gm]
         g_area = gt_all["areas"][gm]
-        g_ignore = g_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
+        area_lo, area_hi = _AREA_LO_HI  # (A,) each
+        # (A, G): per-range gt ignore flags
+        g_ignore = (g_crowd[None, :]
+                    | (g_area[None, :] < area_lo[:, None])
+                    | (g_area[None, :] > area_hi[:, None]))
+        num_gt = (~g_ignore).sum(axis=1).astype(np.int64)
 
-        # gts sorted: non-ignored first (COCOeval sorts by _ignore)
-        g_order = np.argsort(g_ignore, kind="stable")
-        g_boxes, g_crowd, g_ignore = (
-            g_boxes[g_order], g_crowd[g_order], g_ignore[g_order])
-
-        d_boxes = det["boxes"][dm]
-        d_scores = det["scores"][dm]
-        d_order = np.argsort(-d_scores, kind="stable")[:max_det]
+        if dm.any():
+            d_boxes = det["boxes"][dm]
+            d_scores = det["scores"][dm]
+        else:
+            d_boxes = np.zeros((0, 4))
+            d_scores = np.zeros(0)
+        d_order = np.argsort(-d_scores, kind="mergesort")[:max(MAX_DETS)]
         d_boxes, d_scores = d_boxes[d_order], d_scores[d_order]
+
+        a_n, t_n = len(AREA_RANGES), len(IOU_THRS)
+        d_n, g_n = len(d_boxes), len(g_boxes)
+        if d_n == 0:
+            return {
+                "dt_scores": d_scores,
+                "dt_matched": np.zeros((a_n, t_n, 0), bool),
+                "dt_ignore": np.zeros((a_n, t_n, 0), bool),
+                "num_gt": num_gt,
+            }
+
+        d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1])
+        d_oor = ((d_area[None, :] < area_lo[:, None])
+                 | (d_area[None, :] > area_hi[:, None]))  # (A, D)
+        d_oor_at = np.broadcast_to(d_oor[:, None, :], (a_n, t_n, d_n))
+
+        if g_n == 0:
+            # no gt of this category: every det is unmatched; ignored iff
+            # out of the area range
+            return {
+                "dt_scores": d_scores,
+                "dt_matched": np.zeros((a_n, t_n, d_n), bool),
+                "dt_ignore": d_oor_at.copy(),
+                "num_gt": num_gt,
+            }
 
         ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
 
-        t_n, d_n, g_n = len(IOU_THRS), len(d_boxes), len(g_boxes)
-        dtm = np.zeros((t_n, d_n), np.int64) - 1
-        gtm = np.zeros((t_n, g_n), np.int64) - 1
-        for ti, t in enumerate(IOU_THRS):
-            for di in range(d_n):
-                best = min(t, 1 - 1e-10)
-                m = -1
-                for gi in range(g_n):
-                    # gt already matched (and not crowd) -> unavailable
-                    if gtm[ti, gi] >= 0 and not g_crowd[gi]:
-                        continue
-                    # have a real-gt match and now reaching ignored gts: stop
-                    if m > -1 and not g_ignore[m] and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    m = gi
-                if m > -1:
-                    dtm[ti, di] = m
-                    gtm[ti, m] = di
+        # Stack (area, thr) into one problem axis P = A*T.
+        thr_eff = np.minimum(IOU_THRS, 1 - 1e-10)
+        p_thr = np.broadcast_to(thr_eff[None, :], (a_n, t_n)).reshape(-1)
+        p_ignore = np.broadcast_to(
+            g_ignore[:, None, :], (a_n, t_n, g_n)).reshape(-1, g_n)
+        dtm = _match_greedy(ious, p_ignore, g_crowd, p_thr)  # (P, D)
 
-        d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1])
-        d_out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
-        # detection ignored if matched to an ignored gt, or unmatched and
-        # outside the area range
-        dt_ignore = np.zeros((t_n, d_n), bool)
-        for ti in range(t_n):
-            matched = dtm[ti] >= 0
-            ig = np.zeros(d_n, bool)
-            ig[matched] = g_ignore[dtm[ti, matched]]
-            ig[~matched] = d_out_of_range[~matched]
-            dt_ignore[ti] = ig
+        matched = dtm >= 0
+        # detection ignored: matched to ignored gt, or unmatched + out of range
+        matched_gt_ignored = np.take_along_axis(
+            p_ignore, np.maximum(dtm, 0), axis=1) & matched
+        dt_ignore = np.where(
+            matched, matched_gt_ignored, d_oor_at.reshape(-1, d_n))
 
         return {
             "dt_scores": d_scores,
-            "dt_matched": dtm >= 0,
-            "dt_ignore": dt_ignore,
-            "num_gt": int((~g_ignore).sum()),
+            "dt_matched": matched.reshape(a_n, t_n, d_n),
+            "dt_ignore": dt_ignore.reshape(a_n, t_n, d_n),
+            "num_gt": num_gt,
         }
 
-    def _relevant_images(self, cat: int) -> List[int]:
-        """Images with any gt or dt of this category (skips the quadratic
-        empty-pair walk — pycocotools achieves this via its index)."""
-        out = []
-        for img_id in sorted(self.gts):
-            g = self.gts[img_id]
-            d = self.detections.get(img_id)
-            if (g["labels"] == cat).any() or (
-                    d is not None and (d["labels"] == cat).any()):
-                out.append(img_id)
-        return out
+    def _images_by_category(self) -> Dict[int, List[int]]:
+        """cat -> sorted image ids with any gt or dt of that category
+        (one pass; skips the quadratic empty-pair walk — pycocotools
+        achieves the same via its index). Image order is sorted ids, which
+        fixes the cross-image order of tied scores in accumulate()."""
+        by_cat: Dict[int, set] = {c: set() for c in self.category_ids}
+        for img_id in self.gts:
+            for c in np.unique(self.gts[img_id]["labels"]).tolist():
+                if c in by_cat:
+                    by_cat[c].add(img_id)
+        for img_id, d in self.detections.items():
+            if img_id not in self.gts:
+                continue  # dt for unknown image: dropped (loadRes rejects)
+            for c in np.unique(d["labels"]).tolist():
+                if c in by_cat:
+                    by_cat[c].add(img_id)
+        return {c: sorted(s) for c, s in by_cat.items()}
 
     def accumulate(self) -> None:
         k_n = len(self.category_ids)
@@ -210,21 +300,16 @@ class CocoEvaluator:
         t_n, r_n = len(IOU_THRS), len(REC_THRS)
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
-        max_det_all = max(MAX_DETS)
+        by_cat = self._images_by_category()
 
         for ki, cat in enumerate(self.category_ids):
-            img_ids = self._relevant_images(cat)
-            for ai, (_, rng) in enumerate(AREA_RANGES.items()):
-                # match once per (cat, img, area) at the largest maxDet;
-                # smaller maxDets are per-image truncations (the pycocotools
-                # accumulate convention).
-                per_img = [
-                    self._evaluate_img(cat, i, rng, max_det_all)
-                    for i in img_ids]
-                per_img = [e for e in per_img if e is not None]
-                if not per_img:
-                    continue
-                num_gt = sum(e["num_gt"] for e in per_img)
+            per_img = [self._evaluate_cat_img(cat, i) for i in by_cat[cat]]
+            per_img = [e for e in per_img if e is not None]
+            if not per_img:
+                continue
+            num_gt_a = np.sum([e["num_gt"] for e in per_img], axis=0)
+            for ai in range(a_n):
+                num_gt = int(num_gt_a[ai])
                 if num_gt == 0:
                     continue
                 for mi, max_det in enumerate(MAX_DETS):
@@ -232,10 +317,10 @@ class CocoEvaluator:
                         [e["dt_scores"][:max_det] for e in per_img])
                     order = np.argsort(-scores, kind="mergesort")
                     matched = np.concatenate(
-                        [e["dt_matched"][:, :max_det] for e in per_img],
+                        [e["dt_matched"][ai, :, :max_det] for e in per_img],
                         axis=1)[:, order]
                     ignored = np.concatenate(
-                        [e["dt_ignore"][:, :max_det] for e in per_img],
+                        [e["dt_ignore"][ai, :, :max_det] for e in per_img],
                         axis=1)[:, order]
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored
