@@ -146,13 +146,16 @@ class CocoDetection:
                 target["keypoints"] = np.zeros((0, 0, 3), np.float32)
         return target
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng=None):
+        """rng: per-sample np.random.Generator for the augmentations —
+        supplied by the loader so runs are reproducible end-to-end
+        regardless of worker count (derived from (seed, epoch, idx))."""
         img_id = self.ids[idx]
         info = self.images[img_id]
         img = _load_image(os.path.join(self.img_folder, info["file_name"]))
         target = self._make_target(img_id, info["height"], info["width"])
         if self.transforms is not None:
-            img, target = self.transforms(img, target)
+            img, target = self.transforms(img, target, rng)
         return img, target
 
     def raw_item(self, idx: int):

@@ -2,8 +2,11 @@
 
 'hflip' = flip only; 'ssd' = the full SSD suite (photometric distort,
 zoom-out with the model's un-normalized mean fill, IoU crop, flip).
-Both end with ToFloat; Resize to the model's fixed input size happens in the
-loader so eval keeps original sizes for box rescaling.
+
+Presets keep images uint8: the loader resizes uint8 (cheaper, especially on
+the up-to-4x zoom-out canvases) and fuses the [0,1] float conversion into
+one pass at the final 320^2 size. Resize lives in the loader so eval keeps
+original sizes for box rescaling.
 """
 
 from __future__ import annotations
@@ -20,7 +23,6 @@ class DetectionPresetTrain:
         if data_augmentation == "hflip":
             self.transforms = T.Compose([
                 T.RandomHorizontalFlip(p=hflip_prob),
-                T.ToFloat(),
             ])
         elif data_augmentation == "ssd":
             self.transforms = T.Compose([
@@ -28,7 +30,6 @@ class DetectionPresetTrain:
                 T.RandomZoomOut(fill=list(mean)),
                 T.RandomIoUCrop(),
                 T.RandomHorizontalFlip(p=hflip_prob),
-                T.ToFloat(),
             ])
         else:
             raise ValueError(
@@ -40,7 +41,7 @@ class DetectionPresetTrain:
 
 class DetectionPresetEval:
     def __init__(self):
-        self.transforms = T.Compose([T.ToFloat()])
+        self.transforms = T.Compose([])
 
     def __call__(self, img, target, rng=None):
         return self.transforms(img, target, rng)

@@ -197,7 +197,8 @@ class RandomZoomOut:
         return canvas, dict(target, boxes=boxes)
 
 
-def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
+def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:
+    """b may be an array or a scalar (contrast blends against the mean)."""
     return (factor * a + (1.0 - factor) * b).clip(0, 255)
 
 
@@ -238,7 +239,7 @@ class RandomPhotometricDistort:
         def contrast(img):
             f = rng.uniform(*self.contrast)
             mean = _grayscale(img).mean()
-            return _blend(img, np.full_like(img, mean), f)
+            return _blend(img, mean, f)  # scalar blend, no full_like alloc
 
         contrast_before = r[1] < 0.5
         if contrast_before and r[2] < self.p:

@@ -98,14 +98,15 @@ class VOCDetection:
         }
         return ann, target
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng=None):
+        """rng: per-sample np.random.Generator (see CocoDetection)."""
         from demonet_tpu.data.coco import _load_image
 
         name = self.image_names[idx]
         img = _load_image(os.path.join(self.img_dir, f"{name}.jpg"))
         _, target = self._target(name, idx)
         if self.transforms is not None:
-            img, target = self.transforms(img, target)
+            img, target = self.transforms(img, target, rng)
         return img, target
 
     def raw_item(self, idx: int):

@@ -23,7 +23,15 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="demonet_tpu detection training", add_help=add_help)
     parser.add_argument("--data-path", default="/data/coco", help="dataset root")
-    parser.add_argument("--dataset", default="coco", choices=["coco", "voc"])
+    parser.add_argument("--dataset", default="coco",
+                        choices=["coco", "voc", "synthetic"],
+                        help="'synthetic' needs no data on disk "
+                             "(demonet_tpu/data/synthetic.py)")
+    parser.add_argument("--synthetic-size", default=64, type=int,
+                        help="images per split for --dataset synthetic")
+    parser.add_argument("--num-workers", "-j", default=0, type=int,
+                        help="loader worker processes (0 = prefetch thread"
+                             " only; reference train.py -j)")
     parser.add_argument("--model", default="ssdlite320_mobilenet_v3_large")
     parser.add_argument("--num-classes", default=None, type=int,
                         help="default: 91 for coco, 21 for voc")
@@ -73,6 +81,16 @@ def build_datasets(args):
         ds_train = get_coco(args.data_path, "train", train_tf)
         ds_val = get_coco(args.data_path, "val", eval_tf)
         num_classes = 91
+    elif args.dataset == "synthetic":
+        from demonet_tpu.data.synthetic import SyntheticDetection
+
+        num_classes = 7
+        ds_train = SyntheticDetection(
+            n=args.synthetic_size, num_classes=num_classes,
+            seed=args.seed, transforms=train_tf)
+        ds_val = SyntheticDetection(
+            n=args.synthetic_size, num_classes=num_classes,
+            seed=args.seed + 1, transforms=eval_tf)
     else:
         from demonet_tpu.data.voc import VOCDetection
 
@@ -83,7 +101,7 @@ def build_datasets(args):
 
 
 def make_evaluator(args, ds_val):
-    if args.dataset == "coco":
+    if args.dataset in ("coco", "synthetic"):
         from demonet_tpu.data.coco_eval import CocoEvaluator
 
         return CocoEvaluator(ds_val.ground_truth_for_eval())
@@ -123,6 +141,7 @@ def main(args) -> None:
 
     loader_kw = dict(
         image_size=size, max_gt=args.max_gt, seed=args.seed,
+        num_workers=args.num_workers,
         num_shards=jax.process_count(), shard_index=jax.process_index())
     batch_sampler = None
     if args.aspect_ratio_group_factor >= 0:
