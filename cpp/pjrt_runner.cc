@@ -9,7 +9,12 @@
 //
 // Usage:
 //   pjrt_runner <plugin.so> <model.mlir> <NxHxWxC> [iters] [compile_opts.pb]
+//               [key=value ...]
 //   e.g. pjrt_runner /lib/libtpu.so ssdlite320.mlir 1x320x320x3 100
+//   Trailing key=value pairs become PJRT_Client_Create named options
+//   (integers -> kInt64, everything else -> kString); plugins like the
+//   axon tunnel need e.g. topology=v5e:1x1x1 session_id=<uuid>
+//   remote_compile=1.
 //
 // Prints per-iteration latency and the output buffer arities — enough to
 // smoke-test an exported model end-to-end from C++ and to benchmark the
@@ -17,6 +22,7 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -75,6 +81,49 @@ bool AwaitEvent(PJRT_Event* event) {
   return true;
 }
 
+// Copy a device buffer to host in DENSE ROW-MAJOR layout. Without an
+// explicit host_layout, ToHostBuffer uses the device buffer's layout —
+// on TPU that is often transposed/tiled (verified: (300,4) boxes came
+// back as (4,300)), which would silently corrupt consumers.
+bool FetchToHostRowMajor(PJRT_Buffer* src, std::vector<char>* out) {
+  PJRT_Buffer_Dimensions_Args dims_args;
+  std::memset(&dims_args, 0, sizeof(dims_args));
+  dims_args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+  dims_args.buffer = src;
+  if (PJRT_Error* err = g_api->PJRT_Buffer_Dimensions(&dims_args)) {
+    std::fprintf(stderr, "dims error: %s\n", ErrorMessage(err).c_str());
+    return false;
+  }
+  std::vector<int64_t> minor_to_major(dims_args.num_dims);
+  for (size_t i = 0; i < dims_args.num_dims; ++i) {
+    minor_to_major[i] = static_cast<int64_t>(dims_args.num_dims - 1 - i);
+  }
+  PJRT_Buffer_MemoryLayout layout;
+  std::memset(&layout, 0, sizeof(layout));
+  layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  layout.tiled.minor_to_major = minor_to_major.data();
+  layout.tiled.minor_to_major_size = minor_to_major.size();
+
+  PJRT_Buffer_ToHostBuffer_Args d2h;
+  std::memset(&d2h, 0, sizeof(d2h));
+  d2h.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  d2h.src = src;
+  d2h.host_layout = &layout;
+  if (PJRT_Error* err = g_api->PJRT_Buffer_ToHostBuffer(&d2h)) {  // size query
+    std::fprintf(stderr, "d2h size error: %s\n", ErrorMessage(err).c_str());
+    return false;
+  }
+  out->resize(d2h.dst_size);
+  d2h.dst = out->data();
+  if (PJRT_Error* err = g_api->PJRT_Buffer_ToHostBuffer(&d2h)) {
+    std::fprintf(stderr, "d2h error: %s\n", ErrorMessage(err).c_str());
+    return false;
+  }
+  return AwaitEvent(d2h.event);
+}
+
 std::string ReadFile(const char* path) {
   std::ifstream f(path, std::ios::binary);
   std::ostringstream ss;
@@ -108,9 +157,34 @@ int main(int argc, char** argv) {
   const char* plugin_path = argv[1];
   const char* model_path = argv[2];
   std::vector<int64_t> dims = ParseShape(argv[3]);
-  int iters = argc > 4 ? std::atoi(argv[4]) : 10;
-  std::string compile_opts =
-      argc > 5 ? ReadFile(argv[5]) : std::string();
+  int iters = 10;
+  std::string compile_opts;
+  // positional [iters] [compile_opts.pb], then key=value create options.
+  // dump_out=<prefix> is consumed by the runner itself: raw bytes of every
+  // output land in <prefix>.<i>.bin for parity checks against Python.
+  std::vector<std::pair<std::string, std::string>> create_kv;
+  std::string dump_prefix;
+  std::string input_file;  // raw f32 bytes; zeros if absent
+  int positional = 0;
+  for (int i = 4; i < argc; ++i) {
+    std::string a(argv[i]);
+    size_t eq = a.find('=');
+    if (eq != std::string::npos) {
+      if (a.substr(0, eq) == "dump_out") {
+        dump_prefix = a.substr(eq + 1);
+      } else if (a.substr(0, eq) == "input_file") {
+        input_file = a.substr(eq + 1);
+      } else {
+        create_kv.emplace_back(a.substr(0, eq), a.substr(eq + 1));
+      }
+    } else if (positional == 0) {
+      iters = std::atoi(argv[i]);
+      ++positional;
+    } else {
+      compile_opts = ReadFile(argv[i]);
+      ++positional;
+    }
+  }
 
   void* lib = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
   if (!lib) {
@@ -136,9 +210,39 @@ int main(int argc, char** argv) {
   }
 
   // --- client + device ---
+  // Build PJRT named values from trailing key=value args. Integer-looking
+  // values go as kInt64 (the axon plugin's remote_compile/local_only/
+  // priority/n_slices), the rest as kString (topology, session_id).
+  std::vector<int64_t> int_store;
+  int_store.reserve(create_kv.size());
+  std::vector<PJRT_NamedValue> named;
+  named.reserve(create_kv.size());
+  for (auto& kv : create_kv) {
+    PJRT_NamedValue nv;
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = kv.first.c_str();
+    nv.name_size = kv.first.size();
+    const std::string& v = kv.second;
+    bool is_int = !v.empty() &&
+                  v.find_first_not_of("0123456789-") == std::string::npos;
+    if (is_int) {
+      int_store.push_back(std::stoll(v));
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = int_store.back();
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = v.c_str();
+      nv.value_size = v.size();
+    }
+    named.push_back(nv);
+  }
   PJRT_Client_Create_Args create;
   std::memset(&create, 0, sizeof(create));
   create.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  create.create_options = named.empty() ? nullptr : named.data();
+  create.num_options = named.size();
   CHECK_PJRT(g_api->PJRT_Client_Create(&create));
   PJRT_Client* client = create.client;
 
@@ -188,6 +292,16 @@ int main(int argc, char** argv) {
   int64_t numel = 1;
   for (int64_t d : dims) numel *= d;
   std::vector<float> host_input(static_cast<size_t>(numel), 0.0f);
+  if (!input_file.empty()) {
+    std::string raw = ReadFile(input_file.c_str());
+    if (raw.size() != host_input.size() * sizeof(float)) {
+      std::fprintf(stderr, "input_file %s has %zu bytes, want %zu\n",
+                   input_file.c_str(), raw.size(),
+                   host_input.size() * sizeof(float));
+      return 1;
+    }
+    std::memcpy(host_input.data(), raw.data(), raw.size());
+  }
 
   PJRT_Client_BufferFromHostBuffer_Args h2d;
   std::memset(&h2d, 0, sizeof(h2d));
@@ -229,6 +343,8 @@ int main(int argc, char** argv) {
   PJRT_Buffer** output_lists[] = {outputs.data()};
   PJRT_Event* device_complete = nullptr;
 
+  std::vector<double> iter_ms;
+  iter_ms.reserve(iters);
   double best_ms = 1e30, total_ms = 0.0;
   for (int i = 0; i < iters; ++i) {
     PJRT_LoadedExecutable_Execute_Args exec;
@@ -245,25 +361,36 @@ int main(int argc, char** argv) {
     auto it0 = std::chrono::steady_clock::now();
     CHECK_PJRT(g_api->PJRT_LoadedExecutable_Execute(&exec));
     if (!AwaitEvent(device_complete)) return 1;
+    // Execute (and even device_complete on some plugins) is async;
+    // fetching an output to host is the only honest completion barrier,
+    // so the device->host copy of output[0] is inside the timed region
+    // (it is a few KB of detections — negligible transfer).
+    if (num_outputs > 0) {
+      std::vector<char> host_out;
+      if (!FetchToHostRowMajor(outputs[0], &host_out)) return 1;
+      if (i == 0) {
+        std::printf("output[0]: %zu bytes fetched to host\n",
+                    host_out.size());
+      }
+    }
+    // first iteration: optionally dump ALL outputs for parity checking
+    if (i == 0 && !dump_prefix.empty()) {
+      for (size_t oi = 0; oi < num_outputs; ++oi) {
+        std::vector<char> host_out;
+        if (!FetchToHostRowMajor(outputs[oi], &host_out)) return 1;
+        std::string path = dump_prefix + "." + std::to_string(oi) + ".bin";
+        std::ofstream of(path, std::ios::binary);
+        of.write(host_out.data(), host_out.size());
+        std::printf("dumped output[%zu] (%zu bytes) -> %s\n", oi,
+                    host_out.size(), path.c_str());
+      }
+    }
     double ms = std::chrono::duration<double, std::milli>(
                     std::chrono::steady_clock::now() - it0)
                     .count();
     total_ms += ms;
+    iter_ms.push_back(ms);
     if (ms < best_ms) best_ms = ms;
-
-    // fetch first output to host once, to prove end-to-end data flow
-    if (i == 0 && num_outputs > 0) {
-      PJRT_Buffer_ToHostBuffer_Args d2h;
-      std::memset(&d2h, 0, sizeof(d2h));
-      d2h.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-      d2h.src = outputs[0];
-      CHECK_PJRT(g_api->PJRT_Buffer_ToHostBuffer(&d2h));  // query size
-      std::vector<char> host_out(d2h.dst_size);
-      d2h.dst = host_out.data();
-      CHECK_PJRT(g_api->PJRT_Buffer_ToHostBuffer(&d2h));
-      if (!AwaitEvent(d2h.event)) return 1;
-      std::printf("output[0]: %zu bytes fetched to host\n", host_out.size());
-    }
     for (PJRT_Buffer* b : outputs) {
       if (!b) continue;
       PJRT_Buffer_Destroy_Args bd;
@@ -273,8 +400,10 @@ int main(int argc, char** argv) {
       CHECK_PJRT(g_api->PJRT_Buffer_Destroy(&bd));
     }
   }
-  std::printf("ran %d iters: best %.3f ms, mean %.3f ms\n", iters, best_ms,
-              total_ms / iters);
+  std::sort(iter_ms.begin(), iter_ms.end());
+  double p50 = iter_ms.empty() ? 0.0 : iter_ms[iter_ms.size() / 2];
+  std::printf("ran %d iters: best %.3f ms, p50 %.3f ms, mean %.3f ms\n",
+              iters, best_ms, p50, total_ms / iters);
 
   PJRT_Client_Destroy_Args cd;
   std::memset(&cd, 0, sizeof(cd));

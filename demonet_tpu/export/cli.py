@@ -76,6 +76,10 @@ def main(args) -> None:
     if args.mlir:
         save_stablehlo_text(exported, args.mlir)
         print(f"wrote {args.mlir}")
+        from demonet_tpu.export.stablehlo import save_compile_options
+
+        save_compile_options(args.mlir + ".compile_opts.pb")
+        print(f"wrote {args.mlir}.compile_opts.pb")
 
 
 if __name__ == "__main__":

@@ -89,3 +89,19 @@ def save_stablehlo_text(exported: jax_export.Exported, path: str) -> None:
     """Dump readable StableHLO MLIR (debugging / the C++ runner's input)."""
     with open(path, "w") as f:
         f.write(exported.mlir_module())
+
+
+def save_compile_options(path: str, num_replicas: int = 1,
+                         num_partitions: int = 1) -> None:
+    """Serialized xla CompileOptions proto for the C++ PJRT runner.
+
+    PJRT_Client_Compile takes the options as serialized proto bytes; some
+    plugins reject empty options ("Number of replicas (0) must be at least
+    1"), so the export CLI writes this next to the .mlir."""
+    from jax._src.lib import xla_client
+
+    co = xla_client.CompileOptions()
+    co.num_replicas = num_replicas
+    co.num_partitions = num_partitions
+    with open(path, "wb") as f:
+        f.write(co.SerializeAsString())
