@@ -97,7 +97,11 @@ def evaluate(
 
         t0 = time.time()
         dets = predict_step(variables, images, jnp.asarray(sizes))
-        dets = jax.device_get(dets)
+        # fetch only this process's rows — device_get would touch
+        # non-addressable shards in multi-process runs
+        from demonet_tpu.parallel.mesh import host_local_values
+
+        dets = host_local_values(dets)
         model_time = time.time() - t0
 
         t0 = time.time()

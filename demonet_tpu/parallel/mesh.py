@@ -47,7 +47,36 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: a plain device_put. Multi-process: each host holds only
+    its LOCAL batch rows (the loader shards by process), so the global array
+    is assembled with make_array_from_process_local_data — the analogue of
+    DDP's per-rank batches feeding one logical step."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def host_local_values(tree: Any) -> Any:
+    """Fetch the process-local rows of batch-sharded global arrays as numpy
+    (inverse of shard_batch; device_get would fail on non-addressable
+    shards in multi-process runs)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+
+    def fetch(arr):
+        if not isinstance(arr, jax.Array):
+            return np.asarray(arr)
+        if arr.is_fully_replicated:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if arr.ndim else 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    return jax.tree_util.tree_map(fetch, tree)
