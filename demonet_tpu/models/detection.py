@@ -174,17 +174,19 @@ def postprocess_detections(
         config, nms_impl).reshape(b, c - 1, k)
 
     flat_sc = jnp.where(keep, cand_sc, _NEG_INF).reshape(b, -1)
-    flat_boxes = cand_boxes.reshape(b, -1, 4)
-    flat_labels = jnp.broadcast_to(
-        jnp.arange(1, c, dtype=jnp.int32)[None, :, None],
-        (b, c - 1, k)).reshape(b, -1)
 
     d = config.detections_per_img
     out_scores, out_idx = jax.lax.top_k(flat_sc, d)  # (B, D)
     valid = out_scores > _NEG_INF / 2
-    gather = jax.vmap(lambda x, i: jnp.take(x, i, axis=0))
-    out_boxes = jnp.where(valid[..., None], gather(flat_boxes, out_idx), 0.0)
-    out_labels = jnp.where(valid, gather(flat_labels, out_idx), 0)
+    # final gather as ONE flat row-gather (same trick as the candidate
+    # gather above — measurably faster than the vmapped per-image take);
+    # labels need no gather at all: the flat index encodes (class, cand)
+    flat2 = cand_boxes.reshape(b * (c - 1) * k, 4)
+    gi2 = (jnp.arange(b, dtype=out_idx.dtype)[:, None] * ((c - 1) * k)
+           + out_idx).reshape(-1)
+    out_boxes = jnp.take(flat2, gi2, axis=0).reshape(b, d, 4)
+    out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+    out_labels = jnp.where(valid, (out_idx // k).astype(jnp.int32) + 1, 0)
     out_scores = jnp.where(valid, out_scores, 0.0)
 
     if original_sizes is not None:
