@@ -17,7 +17,9 @@ These stay on the host on purpose: they're branchy rejection-sampling loops
 are reproducible end-to-end.
 
 Images are HWC numpy; uint8 until ToFloat. Targets are numpy dicts
-('boxes' xyxy float32, 'labels' int64, ...).
+('boxes' xyxy float32, 'labels' int64, ...). When 'masks' (N,H,W) or
+'keypoints' (N,K,3) are present they are flipped/resized/cropped/padded
+alongside the boxes (reference transforms.py:30-44, transform.py:27-53).
 """
 
 from __future__ import annotations
@@ -25,6 +27,43 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# COCO person keypoint left/right swap under horizontal flip
+# (reference transforms.py:10-17 _flip_coco_person_keypoints).
+_COCO_KP_FLIP_INDS = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
+def _flip_keypoints(kps: np.ndarray, width: float) -> np.ndarray:
+    """(N, K, 3) [x, y, vis] -> horizontally flipped, COCO convention that
+    invisible points stay zeroed (reference transforms.py:10-17)."""
+    if kps.size == 0:
+        return kps
+    inds = _COCO_KP_FLIP_INDS if kps.shape[1] == 17 else list(range(kps.shape[1]))
+    flipped = kps[:, inds].copy()
+    flipped[..., 0] = width - flipped[..., 0]
+    flipped[flipped[..., 2] == 0] = 0
+    return flipped
+
+
+def _resize_masks(masks: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """(N, H, W) -> (N, nh, nw) nearest-neighbor, matching the reference's
+    interpolate(..., mode bilinear) > 0.5 binarization in spirit
+    (reference transform.py:27-53 _resize_image_and_masks)."""
+    if masks.shape[0] == 0:
+        return np.zeros((0, nh, nw), masks.dtype)
+    h, w = masks.shape[1:3]
+    ys = np.minimum((np.arange(nh) * (h / nh) + 0.5 * h / nh).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(nw) * (w / nw) + 0.5 * w / nw).astype(np.int64), w - 1)
+    return masks[:, ys[:, None], xs[None, :]]
+
+
+def _scale_keypoints(kps: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    if kps.size == 0:
+        return kps
+    out = kps.copy()
+    out[..., 0] *= sx
+    out[..., 1] *= sy
+    return out
 
 
 class Compose:
@@ -51,6 +90,10 @@ class RandomHorizontalFlip:
             boxes = target["boxes"].copy()
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
             target = dict(target, boxes=boxes)
+            if "masks" in target:
+                target["masks"] = target["masks"][:, :, ::-1].copy()
+            if "keypoints" in target:
+                target["keypoints"] = _flip_keypoints(target["keypoints"], w)
         return image, target
 
 
@@ -78,6 +121,11 @@ class Resize:
             boxes = target["boxes"] * np.asarray(
                 [nw / w, nh / h, nw / w, nh / h], np.float32)
             target = dict(target, boxes=boxes)
+            if "masks" in target:
+                target["masks"] = _resize_masks(target["masks"], nh, nw)
+            if "keypoints" in target:
+                target["keypoints"] = _scale_keypoints(
+                    target["keypoints"], nw / w, nh / h)
         return image, target
 
 
@@ -104,6 +152,11 @@ class ResizeShortestEdge:
             boxes = target["boxes"] * np.asarray(
                 [nw / w, nh / h, nw / w, nh / h], np.float32)
             target = dict(target, boxes=boxes)
+            if "masks" in target:
+                target["masks"] = _resize_masks(target["masks"], nh, nw)
+            if "keypoints" in target:
+                target["keypoints"] = _scale_keypoints(
+                    target["keypoints"], nw / w, nh / h)
         return image, target
 
 
@@ -164,6 +217,20 @@ class RandomIoUCrop:
                 for k in ("area", "iscrowd", "difficult"):
                     if k in target and len(target[k]) == len(within):
                         new_target[k] = target[k][within]
+                if "masks" in target:
+                    new_target["masks"] = (
+                        target["masks"][within][:, top:bottom, left:right].copy())
+                if "keypoints" in target:
+                    kps = target["keypoints"][within].copy()
+                    if kps.size:
+                        kps[..., 0] -= left
+                        kps[..., 1] -= top
+                        # points falling outside the crop become invisible,
+                        # COCO convention vis==0 -> x=y=0
+                        oob = ((kps[..., 0] < 0) | (kps[..., 0] > new_w)
+                               | (kps[..., 1] < 0) | (kps[..., 1] > new_h))
+                        kps[oob] = 0
+                    new_target["keypoints"] = kps
                 return image[top:bottom, left:right].copy(), new_target
 
 
@@ -194,7 +261,19 @@ class RandomZoomOut:
         boxes = target["boxes"].copy()
         boxes[:, 0::2] += left
         boxes[:, 1::2] += top
-        return canvas, dict(target, boxes=boxes)
+        target = dict(target, boxes=boxes)
+        if "masks" in target:
+            m = target["masks"]
+            mc = np.zeros((m.shape[0], canvas_h, canvas_w), m.dtype)
+            mc[:, top:top + orig_h, left:left + orig_w] = m
+            target["masks"] = mc
+        if "keypoints" in target and target["keypoints"].size:
+            kps = target["keypoints"].copy()
+            vis = kps[..., 2] > 0
+            kps[..., 0] += np.where(vis, float(left), 0.0)
+            kps[..., 1] += np.where(vis, float(top), 0.0)
+            target["keypoints"] = kps
+        return canvas, target
 
 
 def _blend(a: np.ndarray, b, factor: float) -> np.ndarray:

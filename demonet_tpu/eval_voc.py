@@ -27,6 +27,10 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--score-thresh", default=0.01, type=float)
     parser.add_argument("--checkpoint", default="",
                         help="orbax checkpoint to evaluate")
+    parser.add_argument("--torch-weights", default="",
+                        help=".pth checkpoint (converted on the fly)")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="published checkpoint from the weights cache")
     parser.add_argument("--results-dir", default="",
                         help="write det_test_<cls>.txt files here")
     parser.add_argument("--use-07-metric", action="store_true", default=True)
@@ -55,7 +59,13 @@ def main(args) -> None:
         score_thresh=args.score_thresh)
 
     variables = detector.init(jax.random.PRNGKey(0))
-    if args.checkpoint:
+    if args.pretrained or args.torch_weights:
+        from demonet_tpu.utils.pretrained import load_pretrained_variables
+
+        variables = load_pretrained_variables(
+            args.arch, path=args.torch_weights or None)
+        print(f"loaded pretrained weights for {args.arch}")
+    elif args.checkpoint:
         from demonet_tpu.engine.state import TrainState
         from demonet_tpu.utils.checkpoints import load_checkpoint
         import optax

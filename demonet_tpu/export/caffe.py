@@ -22,15 +22,20 @@ transposing this framework's NHWC/HWIO weights (same transform as
 utils/torch_weights).
 
 Supported layer types: Input, Convolution (incl. depthwise via group),
-BatchNorm+Scale, ReLU (+ReLU6 as ReLU with documented clamp note), Pooling,
-InnerProduct, Eltwise(SUM), Concat, Softmax, Flatten, Permute, Reshape.
+BatchNorm+Scale, ReLU (+ReLU6 as ReLU with documented clamp note), Power,
+Pooling, InnerProduct, Eltwise(SUM/PROD), two-bottom Scale, Concat,
+Softmax, Flatten, Permute, Reshape. hard-swish/hard-sigmoid are decomposed
+exactly into Power/ReLU/Eltwise chains; SE blocks use the SENet
+two-bottom-Scale deploy pattern.
 Exportable families: the mobilenet_v2 classifier, the
 ssd_lite_mobilenet_v2 detector (the model the reference's converter targets,
-export/convert.py:22), and ssd300_vgg16 (the SSD Caffe fork's original home:
-Normalize conv4_3 layer, floor/ceil pooling round modes, atrous FC6) — each
-with the classic SSD deploy tail (Permute/Flatten/Concat, conf
-Reshape+Softmax). Decode+NMS belong to the SSD-fork DetectionOutput stage
-consumed downstream.
+export/convert.py:22), ssd300_vgg16 (the SSD Caffe fork's original home:
+Normalize conv4_3 layer, floor/ceil pooling round modes, atrous FC6),
+ssdlite320_mobilenet_v3_large, and pelee304 (Pelee's native publication
+format) — each with the classic SSD deploy tail (Permute/Flatten/Concat,
+conf Reshape+Softmax). Decode+NMS belong to the SSD-fork DetectionOutput
+stage consumed downstream. `export/convert.py`-style CLI: export/cli.py
+--format caffe.
 """
 
 from __future__ import annotations
@@ -191,6 +196,28 @@ class CaffeNet:
                                  {"operation": 1}))
         return name
 
+    def eltwise_prod(self, name: str, a: str, b: str) -> str:
+        self.layers.append(Layer(name, "Eltwise", [a, b], [name],
+                                 {"operation": 0}))
+        return name
+
+    def power(self, name: str, bottom: str, power: float = 1.0,
+              scale: float = 1.0, shift: float = 0.0) -> str:
+        """y = (shift + scale * x) ^ power — the stock Power layer, used to
+        decompose hard-sigmoid/hard-swish exactly (see _hsigmoid)."""
+        self.layers.append(Layer(name, "Power", [bottom], [name],
+                                 {"power": power, "scale": scale,
+                                  "shift": shift}))
+        return name
+
+    def scale_bottoms(self, name: str, bottom: str, scale_bottom: str,
+                      axis: int = 0) -> str:
+        """Two-bottom Scale: per-channel broadcast multiply — the SENet
+        deploy pattern (second bottom (N, C), axis 0)."""
+        self.layers.append(Layer(name, "Scale", [bottom, scale_bottom],
+                                 [name], {"axis": axis, "bias_term": False}))
+        return name
+
     def concat(self, name: str, bottoms: List[str], axis: int = 1) -> str:
         self.layers.append(Layer(name, "Concat", list(bottoms), [name],
                                  {"axis": axis}))
@@ -265,7 +292,14 @@ def _layer_prototxt(layer: Layer) -> str:
         lines.append("  batch_norm_param { use_global_stats: true "
                      f"eps: {p.get('eps', 1e-5)} }}")
     elif layer.type == "Scale":
-        lines.append("  scale_param { bias_term: true }")
+        if p.get("bias_term", True):
+            lines.append("  scale_param { bias_term: true }")
+        else:
+            lines.append(f"  scale_param {{ axis: {p.get('axis', 1)} }}")
+    elif layer.type == "Power":
+        lines.append(
+            f"  power_param {{ power: {p.get('power', 1.0)} "
+            f"scale: {p.get('scale', 1.0)} shift: {p.get('shift', 0.0)} }}")
     elif layer.type == "Pooling":
         method = "MAX" if p.get("pool", 0) == 0 else "AVE"
         if p.get("global_pooling"):
@@ -338,7 +372,16 @@ def _layer_binary(layer: Layer) -> bytes:
         bp = _bool(1, True) + _float(3, p.get("eps", 1e-5))
         out += _message(139, bp)  # batch_norm_param = 139
     elif layer.type == "Scale":
-        out += _message(142, _bool(4, True))  # scale_param.bias_term = 4
+        if p.get("bias_term", True):
+            out += _message(142, _bool(4, True))  # scale_param.bias_term = 4
+        else:
+            # ScaleParameter: axis = 1
+            out += _message(142, _uint(1, p.get("axis", 1)))
+    elif layer.type == "Power":
+        # PowerParameter: power = 1, scale = 2, shift = 3
+        out += _message(122, _float(1, p.get("power", 1.0))
+                        + _float(2, p.get("scale", 1.0))
+                        + _float(3, p.get("shift", 0.0)))
     elif layer.type == "Pooling":
         pp = _uint(1, p.get("pool", 0)) + _uint(2, p.get("kernel_size", 1))
         if p.get("pad", 0):
@@ -515,13 +558,19 @@ def ssd_lite_mobilenet_v2_to_caffe(variables: Dict, num_classes: int = 21,
     loc_flats, conf_flats = [], []
     for k, src in enumerate(sources):
         for kind, store in (("reg", loc_flats), ("cls", conf_flats)):
-            head_p, head_s = hp[f"{kind}_{k}"], hs[f"{kind}_{k}"]
+            head_p = hp[f"{kind}_{k}"]
             name = f"{kind}{k}"
-            dw_ch = np.asarray(head_p["dw"]["conv"]["kernel"]).shape[-1]
-            t = _conv_bn_act(net, f"{name}_dw", src, head_p["dw"],
-                             head_s["dw"], pad=1, group=dw_ch)
-            t = net.conv(f"{name}_pw", t, head_p["pw"]["kernel"],
-                         head_p["pw"].get("bias"), pad=0)
+            if "dw" in head_p:
+                head_s = hs[f"{kind}_{k}"]
+                dw_ch = np.asarray(head_p["dw"]["conv"]["kernel"]).shape[-1]
+                t = _conv_bn_act(net, f"{name}_dw", src, head_p["dw"],
+                                 head_s["dw"], pad=1, group=dw_ch)
+                t = net.conv(f"{name}_pw", t, head_p["pw"]["kernel"],
+                             head_p["pw"].get("bias"), pad=0)
+            else:
+                # legacy plain 1x1 last level (reference box_head.py:55-56)
+                t = net.conv(f"{name}_pw", src, head_p["kernel"],
+                             head_p.get("bias"), pad=0)
             t = net.permute(f"{name}_perm", t, [0, 2, 3, 1])
             t = net.flatten(f"{name}_flat", t)
             store.append(t)
@@ -599,6 +648,248 @@ def ssd300_vgg16_to_caffe(variables: Dict, num_classes: int = 91,
     return net
 
 
+def _hsigmoid(net: CaffeNet, name: str, bottom: str) -> str:
+    """hard_sigmoid(x) = clip(x+3, 0, 6)/6, decomposed exactly into stock
+    Power/ReLU layers: relu(x+3) -> 6-y -> relu -> (6-y)/6."""
+    t = net.power(f"{name}_shift3", bottom, shift=3.0)
+    t = net.relu(f"{name}_relu_lo", t)
+    t = net.power(f"{name}_flip", t, scale=-1.0, shift=6.0)
+    t = net.relu(f"{name}_relu_hi", t)
+    return net.power(f"{name}_norm", t, scale=-1.0 / 6.0, shift=1.0)
+
+
+def _hswish(net: CaffeNet, name: str, bottom: str) -> str:
+    """hard_swish(x) = x * hard_sigmoid(x) (elementwise, same shape)."""
+    gate = _hsigmoid(net, f"{name}_hsig", bottom)
+    return net.eltwise_prod(f"{name}_prod", bottom, gate)
+
+
+def _act_to_caffe(net: CaffeNet, name: str, bottom: str, act: str) -> str:
+    if act == "hswish":
+        return _hswish(net, name, bottom)
+    if act == "relu":
+        return net.relu(f"{name}_relu", bottom)
+    if act == "relu6":
+        return net.relu6(f"{name}_relu", bottom)
+    raise ValueError(act)
+
+
+def _se_to_caffe(net: CaffeNet, name: str, bottom: str, p: Dict) -> str:
+    """SqueezeExcitation (layers.py:105-118) as the SENet deploy pattern:
+    global AVE pool -> 1x1 convs -> hard-sigmoid -> Flatten -> two-bottom
+    Scale (axis 0)."""
+    s = net.pool(f"{name}_pool", bottom, 1, 1, "AVE", global_pooling=True)
+    s = net.conv(f"{name}_fc1", s, p["fc1"]["kernel"], p["fc1"].get("bias"),
+                 pad=0)
+    s = net.relu(f"{name}_fc1_relu", s)
+    s = net.conv(f"{name}_fc2", s, p["fc2"]["kernel"], p["fc2"].get("bias"),
+                 pad=0)
+    s = _hsigmoid(net, f"{name}_gate", s)
+    s = net.flatten(f"{name}_flat", s)
+    return net.scale_bottoms(f"{name}_scale", bottom, s, axis=0)
+
+
+def _mnv3_trunk_to_caffe(net: CaffeNet, p: Dict, s: Dict, configs,
+                         bottom: str, c4_split: bool,
+                         bn_eps: float = 1e-3) -> Tuple[str, List[str]]:
+    """MobileNetV3Features (mobilenetv3.py:100-149) -> Caffe layers.
+    Returns (final_top, taps); with c4_split the tap is the expand 1x1 of
+    the last strided block (reference ssd_mobilenetv3.py:104-108)."""
+    taps = []
+    bottom = _conv_bn_act(net, "stem", bottom, p["stem"], s["stem"],
+                          stride=2, pad=1, act=False, eps=bn_eps)
+    bottom = _act_to_caffe(net, "stem", bottom, "hswish")
+    c4 = max(i for i, c in enumerate(configs) if c.stride > 1) if c4_split else -1
+    for i, cfg in enumerate(configs):
+        bp, bs = p[f"blocks_{i}"], s[f"blocks_{i}"]
+        prefix = f"block{i}"
+        act = "hswish" if cfg.use_hs else "relu"
+        x = bottom
+        if cfg.expanded_channels != cfg.in_channels:
+            x = _conv_bn_act(net, f"{prefix}_expand", x, bp["expand_conv"],
+                             bs["expand_conv"], pad=0, act=False, eps=bn_eps)
+            x = _act_to_caffe(net, f"{prefix}_expand", x, act)
+        if i == c4:
+            taps.append(x)
+        stride = 1 if cfg.dilation > 1 else cfg.stride
+        pad = (cfg.kernel - 1) // 2 * cfg.dilation
+        x = _conv_bn_act(net, f"{prefix}_dw", x, bp["depthwise"],
+                         bs["depthwise"], stride=stride, pad=pad,
+                         group=cfg.expanded_channels, dilation=cfg.dilation,
+                         act=False, eps=bn_eps)
+        x = _act_to_caffe(net, f"{prefix}_dw", x, act)
+        if cfg.use_se:
+            x = _se_to_caffe(net, f"{prefix}_se", x, bp["se"])
+        x = _conv_bn_act(net, f"{prefix}_project", x, bp["project"],
+                         bs["project"], pad=0, act=False, eps=bn_eps)
+        if cfg.stride == 1 and cfg.in_channels == cfg.out_channels:
+            x = net.eltwise_sum(f"{prefix}_add", bottom, x)
+        bottom = x
+    bottom = _conv_bn_act(net, "last_conv", bottom, p["last_conv"],
+                          s["last_conv"], pad=0, act=False, eps=bn_eps)
+    bottom = _act_to_caffe(net, "last_conv", bottom, "hswish")
+    return bottom, taps
+
+
+def _ssd_tail(net: CaffeNet, loc_flats: List[str], conf_flats: List[str],
+              num_classes: int) -> None:
+    """The classic SSD deploy tail: Concat per head, conf Reshape+Softmax."""
+    net.concat("mbox_loc", loc_flats, axis=1)
+    conf = net.concat("mbox_conf", conf_flats, axis=1)
+    conf = net.reshape("mbox_conf_reshape", conf, [0, -1, num_classes])
+    conf = net.softmax("mbox_conf_softmax", conf, axis=2)
+    net.flatten("mbox_conf_flatten", conf, axis=1)
+
+
+def ssdlite320_mobilenet_v3_large_to_caffe(
+        variables: Dict, num_classes: int = 91,
+        input_size: int = 320) -> CaffeNet:
+    """The flagship ssdlite320_mobilenet_v3_large as a Caffe deploy graph:
+    MNv3-Large trunk (C4 split), 4 SSDLite extras, dw-separable heads.
+    hard-swish/hard-sigmoid are decomposed exactly into stock Power/ReLU/
+    Eltwise layers; SE uses the SENet two-bottom-Scale pattern."""
+    from demonet_tpu.models.mobilenetv3 import mobilenet_v3_conf
+
+    configs, _ = mobilenet_v3_conf("mobilenet_v3_large", reduced_tail=True)
+    p = variables["params"]["extractor"]
+    st = variables["batch_stats"]["extractor"]
+    net = CaffeNet("ssdlite320_mobilenet_v3_large")
+    bottom = net.input("data", [1, 3, input_size, input_size])
+
+    final, taps = _mnv3_trunk_to_caffe(
+        net, p["trunk"], st["trunk"], configs, bottom, c4_split=True)
+    sources = taps + [final]
+    x = final
+    for e in range(4):
+        ep, es = p[f"extras_{e}"], st[f"extras_{e}"]
+        prefix = f"extra{e}"
+        x = _conv_bn_act(net, f"{prefix}_proj", x, ep["proj"], es["proj"],
+                         pad=0, eps=1e-3)
+        dw_ch = np.asarray(ep["dw"]["conv"]["kernel"]).shape[-1]
+        x = _conv_bn_act(net, f"{prefix}_dw", x, ep["dw"], es["dw"],
+                         stride=2, pad=1, group=dw_ch, eps=1e-3)
+        x = _conv_bn_act(net, f"{prefix}_expand", x, ep["expand"],
+                         es["expand"], pad=0, eps=1e-3)
+        sources.append(x)
+
+    hp = variables["params"]["head"]
+    hs = variables["batch_stats"]["head"]
+    loc_flats, conf_flats = [], []
+    for k, src in enumerate(sources):
+        for kind, store in (("reg", loc_flats), ("cls", conf_flats)):
+            head_p, head_s = hp[f"{kind}_{k}"], hs[f"{kind}_{k}"]
+            name = f"{kind}{k}"
+            dw_ch = np.asarray(head_p["dw"]["conv"]["kernel"]).shape[-1]
+            t = _conv_bn_act(net, f"{name}_dw", src, head_p["dw"],
+                             head_s["dw"], pad=1, group=dw_ch, eps=1e-3)
+            t = net.conv(f"{name}_pw", t, head_p["pw"]["kernel"],
+                         head_p["pw"].get("bias"), pad=0)
+            t = net.permute(f"{name}_perm", t, [0, 2, 3, 1])
+            t = net.flatten(f"{name}_flat", t)
+            store.append(t)
+    _ssd_tail(net, loc_flats, conf_flats, num_classes)
+    return net
+
+
+def _pelee_basic(net: CaffeNet, name: str, bottom: str, p: Dict, s: Dict,
+                 stride: int = 1, pad: int = 0, act: bool = True) -> str:
+    """BasicConv2d (peleenet.py:49-68): conv + BN + optional plain ReLU."""
+    top = net.conv(name, bottom, p["conv"]["kernel"], None,
+                   stride=stride, pad=pad)
+    net.batch_norm(name, top, s["norm"]["mean"], s["norm"]["var"],
+                   p["norm"]["scale"], p["norm"]["bias"], eps=1e-5)
+    if act:
+        net.relu(f"{name}_relu", top)
+    return top
+
+
+def pelee304_to_caffe(variables: Dict, num_classes: int = 21,
+                      input_size: int = 304) -> CaffeNet:
+    """Pelee-SSD 304 as a Caffe deploy graph — the architecture's native
+    format (Pelee was published as Caffe prototxts): two-way stem, two-branch
+    dense layers, ceil-mode AVE transitions pools, 6 extra convs, per-source
+    ResBlocks, 1x1 heads (reference pelee.py:110-167, peleenet.py:78-113)."""
+    p = variables["params"]["extractor"]
+    st = variables["batch_stats"]["extractor"]
+    tp, ts = p["trunk"], st["trunk"]
+    net = CaffeNet("pelee304")
+    bottom = net.input("data", [1, 3, input_size, input_size])
+
+    # stem block (peleenet.py:97-116)
+    sp, ss = tp["stemblock"], ts["stemblock"]
+    out = _pelee_basic(net, "stem1", bottom, sp["stem1"], ss["stem1"],
+                       stride=2, pad=1)
+    b2 = _pelee_basic(net, "stem2a", out, sp["stem2a"], ss["stem2a"])
+    b2 = _pelee_basic(net, "stem2b", b2, sp["stem2b"], ss["stem2b"],
+                      stride=2, pad=1)
+    b1 = net.pool("stem_pool", out, 2, 2, "MAX", ceil_mode=True)
+    x = net.concat("stem_concat", [b1, b2])
+    x = _pelee_basic(net, "stem3", x, sp["stem3"], ss["stem3"])
+
+    sources = []
+    block_config = (3, 4, 8, 6)
+    for i, num_layers in enumerate(block_config):
+        for j in range(num_layers):
+            name = f"denseblock{i+1}_layer{j+1}"
+            dp, ds = tp[name], ts[name]
+            b1 = _pelee_basic(net, f"{name}_b1a", x, dp["branch1a"],
+                              ds["branch1a"])
+            b1 = _pelee_basic(net, f"{name}_b1b", b1, dp["branch1b"],
+                              ds["branch1b"], pad=1)
+            b2 = _pelee_basic(net, f"{name}_b2a", x, dp["branch2a"],
+                              ds["branch2a"])
+            b2 = _pelee_basic(net, f"{name}_b2b", b2, dp["branch2b"],
+                              ds["branch2b"], pad=1)
+            b2 = _pelee_basic(net, f"{name}_b2c", b2, dp["branch2c"],
+                              ds["branch2c"], pad=1)
+            x = net.concat(f"{name}_concat", [x, b1, b2])
+        x = _pelee_basic(net, f"transition{i+1}", x, tp[f"transition{i+1}"],
+                         ts[f"transition{i+1}"])
+        if i == 2:
+            sources.append(x)  # transition3 tap (pelee.py:55-60)
+        if i != len(block_config) - 1:
+            x = net.pool(f"transition{i+1}_pool", x, 2, 2, "AVE",
+                         ceil_mode=True)
+    sources.append(x)  # transition4 (final)
+
+    extras = ((128, 1, 1, 0), (256, 3, 2, 1), (128, 1, 1, 0),
+              (256, 3, 1, 0), (128, 1, 1, 0), (256, 3, 1, 0))
+    for k, (_, _, s_, pad) in enumerate(extras):
+        x = _pelee_basic(net, f"extras_{k}", x, p[f"extras_{k}"],
+                         st[f"extras_{k}"], stride=s_, pad=pad)
+        if k % 2 == 1:
+            sources.append(x)
+
+    refined = []
+    for k, src in enumerate(sources):
+        rp = p[f"resblock_{k}"]
+
+        def conv_relu(name, btm, pad=0):
+            t = net.conv(name, btm, rp[name.split("_")[-1]]["conv"]["kernel"],
+                         None, pad=pad)
+            return net.relu(f"{name}_relu", t)
+
+        o1 = conv_relu(f"res{k}_res1a", src)
+        o1 = conv_relu(f"res{k}_res1b", o1, pad=1)
+        o1 = conv_relu(f"res{k}_res1c", o1)
+        o2 = conv_relu(f"res{k}_res2a", src)
+        refined.append(net.eltwise_sum(f"res{k}_add", o1, o2))
+
+    hp = variables["params"]["head"]
+    loc_flats, conf_flats = [], []
+    for k, src in enumerate(refined):
+        for kind, store in (("reg", loc_flats), ("cls", conf_flats)):
+            head_p = hp[f"{kind}_{k}"]
+            name = f"{kind}{k}"
+            t = net.conv(f"{name}_conv", src, head_p["kernel"],
+                         head_p.get("bias"), pad=0)
+            t = net.permute(f"{name}_perm", t, [0, 2, 3, 1])
+            t = net.flatten(f"{name}_flat", t)
+            store.append(t)
+    _ssd_tail(net, loc_flats, conf_flats, num_classes)
+    return net
+
+
 def export_caffe(model_name: str, variables: Dict, prototxt_path: str,
                  caffemodel_path: str, **kwargs: Any) -> CaffeNet:
     """Top-level export (the reference's convert.py CLI flow)."""
@@ -606,6 +897,8 @@ def export_caffe(model_name: str, variables: Dict, prototxt_path: str,
         "mobilenet_v2": mobilenet_v2_to_caffe,
         "ssd_lite_mobilenet_v2": ssd_lite_mobilenet_v2_to_caffe,
         "ssd300_vgg16": ssd300_vgg16_to_caffe,
+        "ssdlite320_mobilenet_v3_large": ssdlite320_mobilenet_v3_large_to_caffe,
+        "pelee304": pelee304_to_caffe,
     }
     if model_name not in builders:
         raise ValueError(

@@ -1,11 +1,16 @@
-"""Export CLI (reference export/onnx_export.py:7-55, redone for StableHLO).
+"""Export CLI (reference export/onnx_export.py:7-55 redone for StableHLO,
+plus the Caffe converter CLI, reference export/convert.py:22-43).
 
     python -m demonet_tpu.export.cli --model ssdlite320_mobilenet_v3_large \
         --batch-size 1 --output model.stablehlo.bin --mlir model.mlir \
         --checkpoint ckpts/checkpoint_25
 
+    python -m demonet_tpu.export.cli --model pelee304 --format caffe \
+        --output deploy   # writes deploy.prototxt + deploy.caffemodel
+
 Emits the serialized jax.export artifact (.bin, reload with load_exported)
-and optionally readable StableHLO MLIR (.mlir) for the C++ PJRT runner.
+and optionally readable StableHLO MLIR (.mlir) for the C++ PJRT runner;
+--format caffe emits prototxt + caffemodel via export/caffe.py.
 """
 
 from __future__ import annotations
@@ -22,6 +27,9 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="orbax checkpoint dir")
     p.add_argument("--torch-weights", default="",
                    help=".pth file converted via utils.torch_weights")
+    p.add_argument("--format", default="stablehlo",
+                   choices=["stablehlo", "caffe"],
+                   help="caffe = prototxt+caffemodel (reference convert.py)")
     p.add_argument("--output", default="model.stablehlo.bin")
     p.add_argument("--mlir", default="", help="also dump StableHLO text here")
     p.add_argument("--platforms", default="tpu",
@@ -45,7 +53,11 @@ def main(args) -> None:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     detector = get_model(args.model, num_classes=args.num_classes,
                          dtype=dtype)
-    variables = detector.init(jax.random.PRNGKey(0))
+    if hasattr(detector, "config"):
+        variables = detector.init(jax.random.PRNGKey(0))
+    else:  # classifier module (e.g. mobilenet_v2 for --format caffe)
+        variables = detector.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 224, 224, 3), dtype))
 
     if args.torch_weights:
         from demonet_tpu.utils.torch_weights import (
@@ -66,6 +78,19 @@ def main(args) -> None:
         state, _, _ = load_checkpoint(args.checkpoint, abstract)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         print(f"loaded checkpoint {args.checkpoint}")
+
+    if args.format == "caffe":
+        from demonet_tpu.export.caffe import export_caffe
+
+        prefix = args.output
+        for suffix in (".stablehlo.bin", ".bin"):
+            if prefix.endswith(suffix):
+                prefix = prefix[: -len(suffix)]
+        variables = jax.device_get(variables)
+        export_caffe(args.model, variables, f"{prefix}.prototxt",
+                     f"{prefix}.caffemodel", num_classes=args.num_classes)
+        print(f"wrote {prefix}.prototxt + {prefix}.caffemodel")
+        return
 
     platforms = tuple(args.platforms.split(","))
     exported = export_detector(

@@ -24,12 +24,18 @@ def list_models() -> list:
 
 
 def load(name: str, weights: Optional[str] = None, seed: int = 0,
-         **kwargs: Any) -> Tuple[Any, Any]:
+         pretrained: bool = False, **kwargs: Any) -> Tuple[Any, Any]:
     """Build a model and (optionally) load weights.
 
     Returns (detector_or_module, variables). `weights` may be an orbax
-    checkpoint directory or a torch .pth file.
+    checkpoint directory or a torch .pth file. `pretrained=True` resolves
+    the published reference checkpoint from the local weights cache
+    (reference hubconf.py:40-43; see utils/pretrained.py).
     """
+    if pretrained and not weights:
+        from demonet_tpu.utils.pretrained import resolve_weights
+
+        weights = resolve_weights(name)
     model = get_model(name, **kwargs)
     is_detector = hasattr(model, "init") and hasattr(model, "config")
     if is_detector:
@@ -65,10 +71,14 @@ def load(name: str, weights: Optional[str] = None, seed: int = 0,
     return model, variables
 
 
-def ssd_lite_mobilenet_v2(pretrained_path: Optional[str] = None,
+def ssd_lite_mobilenet_v2(pretrained: bool = False,
+                          pretrained_path: Optional[str] = None,
                           image_size: int = 320, score_thresh: float = 0.5,
                           num_classes: int = 21):
-    """The reference hub entry's exact signature (hubconf.py:25-44)."""
+    """The reference hub entry's exact signature (hubconf.py:25-44);
+    `pretrained=True` resolves the cached v0 checkpoint the reference loads
+    from ./checkpoints (hubconf.py:22)."""
     return load("ssd_lite_mobilenet_v2", weights=pretrained_path,
+                pretrained=pretrained,
                 size=(image_size, image_size), score_thresh=score_thresh,
                 num_classes=num_classes)

@@ -146,7 +146,10 @@ def ssd_lite_mobilenet_v2(
     extractor = MobileNetV2ExtraBlocks(dtype=dtype)
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
-    head = SSDLiteHead(tuple(num_anchors), num_classes, dtype=dtype)
+    # legacy MultiBoxLiteHead: separable blocks with default-BN (eps 1e-5)
+    # and a plain 1x1 conv on the last level (reference box_head.py:24-56)
+    head = SSDLiteHead(tuple(num_anchors), num_classes, bn_eps=1e-5,
+                       bn_momentum=0.9, last_plain=True, dtype=dtype)
     defaults = dict(
         image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
         score_thresh=score_thresh, nms_thresh=0.45,

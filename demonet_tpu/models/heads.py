@@ -86,19 +86,34 @@ class Pelee1x1Head(nn.Module):
 
 
 class SSDLiteHead(nn.Module):
-    """Depthwise-separable SSD head (reference ssd_mobilenetv3.py:65-96)."""
+    """Depthwise-separable SSD head (reference ssd_mobilenetv3.py:65-96).
+
+    `last_plain=True` makes the final level a plain 1x1 conv — the legacy
+    MultiBoxLiteHead layout (reference box_head.py:55-56), used by the v0
+    ssd_lite_mobilenet_v2 so published checkpoints map 1:1.
+    """
 
     num_anchors: Sequence[int]
     num_classes: int
     bn_eps: float = 1e-3
     bn_momentum: float = 0.97
+    last_plain: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
         cls_out, reg_out = [], []
+        n = len(self.num_anchors)
         for i, (x, a) in enumerate(zip(features, self.num_anchors)):
+            if self.last_plain and i == n - 1:
+                cls_out.append(nn.Conv(
+                    self.num_classes * a, (1, 1), kernel_init=NORMAL_003,
+                    dtype=self.dtype, name=f"cls_{i}")(x))
+                reg_out.append(nn.Conv(
+                    4 * a, (1, 1), kernel_init=NORMAL_003,
+                    dtype=self.dtype, name=f"reg_{i}")(x))
+                continue
             cls_out.append(SeparableConv(
                 self.num_classes * a, 3, bn_eps=self.bn_eps,
                 bn_momentum=self.bn_momentum, kernel_init=NORMAL_003,

@@ -62,6 +62,13 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize activations (jax.checkpoint)")
     parser.add_argument("--test-only", dest="test_only", action="store_true")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="start from the published reference checkpoint "
+                             "(resolved from the local weights cache; see "
+                             "tools/fetch_weights.py)")
+    parser.add_argument("--torch-weights", default="",
+                        help="path to a torch .pth checkpoint to convert "
+                             "and load (reference state_dict layout)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay fp32)")
@@ -172,6 +179,12 @@ def main(args) -> None:
         tx = masked_optimizer(tx, mask)
         del variables0
     state = create_train_state(detector, jax.random.PRNGKey(args.seed), tx)
+    if args.pretrained or args.torch_weights:
+        from demonet_tpu.utils.pretrained import apply_pretrained
+
+        state = apply_pretrained(
+            state, args.model, path=args.torch_weights or None)
+        print(f"loaded pretrained weights for {args.model}")
     state = jax.device_put(state, replicate(mesh))
 
     start_epoch = args.start_epoch

@@ -182,10 +182,10 @@ def mobilenet_v3_classifier_key_map(arch: str = "mobilenet_v3_large",
     return entries
 
 
-def mobilenet_v2_key_map(width_mult: float = 1.0) -> List[MapEntry]:
-    """mobilenet_v2 classifier (reference mobilenetv2.py:103-201:
-    features.0 stem, features.1-17 InvertedResidual `.conv`, features.18
-    last conv, classifier.1 linear).
+def _mnv2_trunk(flax_prefix: str, torch_prefix: str) -> List[MapEntry]:
+    """MobileNetV2 `features` trunk key entries (torch layout per reference
+    mobilenetv2.py:103-201: .0 stem, .1-17 InvertedResidual `.conv`,
+    .18 last conv).
 
     The torch InvertedResidual.conv Sequential is
     [expand CBA?, dw CBA, pw-linear Conv2d, BN] (mobilenetv2.py:78-92) —
@@ -193,12 +193,12 @@ def mobilenet_v2_key_map(width_mult: float = 1.0) -> List[MapEntry]:
     """
     from demonet_tpu.models.mobilenetv2 import _V2_SETTING
 
-    entries = _conv_bn("features/stem", "features.0")
+    entries = _conv_bn(f"{flax_prefix}/stem", f"{torch_prefix}.0")
     i = 0
     for t, c, n, s in _V2_SETTING:
         for r in range(n):
-            tp = f"features.{i + 1}.conv"
-            fp = f"features/blocks_{i}"
+            tp = f"{torch_prefix}.{i + 1}.conv"
+            fp = f"{flax_prefix}/blocks_{i}"
             j = 0
             layer = 0
             if t != 1:
@@ -220,11 +220,80 @@ def mobilenet_v2_key_map(width_mult: float = 1.0) -> List[MapEntry]:
                  f"{tp}.{j+1}.running_var", "raw"),
             ]
             i += 1
-    entries += _conv_bn("features/last_conv", f"features.{i + 1}")
+    entries += _conv_bn(f"{flax_prefix}/last_conv", f"{torch_prefix}.{i + 1}")
+    return entries
+
+
+def mobilenet_v2_key_map(width_mult: float = 1.0) -> List[MapEntry]:
+    """mobilenet_v2 classifier (reference mobilenetv2.py:103-201)."""
+    entries = _mnv2_trunk("features", "features")
     entries += [
         ("params/classifier/kernel", "classifier.1.weight", "linear"),
         ("params/classifier/bias", "classifier.1.bias", "raw"),
     ]
+    return entries
+
+
+def ssd_lite_mobilenet_v2_key_map() -> List[MapEntry]:
+    """The legacy v0 ssd_lite_mobilenet_v2 checkpoint layout
+    (the hubconf.py:22 .pth: AP50 68.39 on VOC).
+
+    Derived from the reference components that survive in-tree:
+      * backbone = MobileNetWithExtraBlocks (backbone.py:45-67) wrapped in
+        IntermediateLayerGetter -> `backbone.body.<i>` keeps torchvision
+        mobilenet_v2 `features` numbering; `backbone.extra_blocks.<i>.conv`
+        is [pw CBA, dw CBA, pw-linear Conv2d, BN] (backbone.py:81-119).
+      * head = MultiBoxLiteHead (box_head.py:37-56): `cls_logits.<k>` /
+        `bbox_pred.<k>`; k<5 SeperableConv2d [dw Conv2d, BN, ReLU6, pw
+        Conv2d] (:24-34), k=5 plain 1x1 Conv2d (:55-56).
+
+    The enclosing module's attribute names come from the (now missing)
+    `ssd_mobilenet.SSDLiteWithMobileNetV2`; `backbone` / `multibox_head`
+    follow its constructor argument names (hubconf.py:10-17). If a real
+    .pth disagrees, strict conversion names the mismatched keys and the
+    prefixes below are the one-line fix.
+    """
+    entries = _mnv2_trunk("extractor/trunk", "backbone.body")
+    for e in range(4):
+        tp = f"backbone.extra_blocks.{e}.conv"
+        fp = f"extractor/extras_{e}"
+        entries += _conv_bn(f"{fp}/pw", f"{tp}.0")
+        entries += _conv_bn(f"{fp}/dw", f"{tp}.1")
+        entries.append((f"params/{fp}/pw_linear/conv/kernel",
+                        f"{tp}.2.weight", "conv"))
+        entries += [
+            (f"params/{fp}/pw_linear/bn/scale", f"{tp}.3.weight", "raw"),
+            (f"params/{fp}/pw_linear/bn/bias", f"{tp}.3.bias", "raw"),
+            (f"batch_stats/{fp}/pw_linear/bn/mean",
+             f"{tp}.3.running_mean", "raw"),
+            (f"batch_stats/{fp}/pw_linear/bn/var",
+             f"{tp}.3.running_var", "raw"),
+        ]
+    for torch_head, flax_head in (("cls_logits", "cls"),
+                                  ("bbox_pred", "reg")):
+        for k in range(5):
+            tp = f"multibox_head.{torch_head}.{k}"
+            fp = f"head/{flax_head}_{k}"
+            # SeperableConv2d: .0 dw conv (bias=True), .1 bn, .3 pw conv.
+            # The flax dw conv is bias-free — conv bias before BN folds
+            # exactly into the running mean (BN(y+b) == BN'(y) with
+            # mean' = mean - b).
+            entries.append((f"params/{fp}/dw/conv/kernel",
+                            f"{tp}.0.weight", "conv"))
+            entries += [
+                (f"params/{fp}/dw/bn/scale", f"{tp}.1.weight", "raw"),
+                (f"params/{fp}/dw/bn/bias", f"{tp}.1.bias", "raw"),
+                (f"batch_stats/{fp}/dw/bn/mean",
+                 f"{tp}.1.running_mean|{tp}.0.bias", "mean_minus_bias"),
+                (f"batch_stats/{fp}/dw/bn/var", f"{tp}.1.running_var", "raw"),
+            ]
+            entries.append((f"params/{fp}/pw/kernel", f"{tp}.3.weight", "conv"))
+            entries.append((f"params/{fp}/pw/bias", f"{tp}.3.bias", "raw"))
+        tp = f"multibox_head.{torch_head}.5"
+        entries.append((f"params/head/{flax_head}_5/kernel",
+                        f"{tp}.weight", "conv"))
+        entries.append((f"params/head/{flax_head}_5/bias",
+                        f"{tp}.bias", "raw"))
     return entries
 
 
@@ -282,6 +351,7 @@ def ssd_vgg16_key_map(highres: bool = False) -> List[MapEntry]:
 
 _KEY_MAPS: Dict[str, Callable[..., List[MapEntry]]] = {
     "ssdlite320_mobilenet_v3_large": ssdlite_mnv3_key_map,
+    "ssd_lite_mobilenet_v2": ssd_lite_mobilenet_v2_key_map,
     "mobilenet_v3_large": lambda **kw: mobilenet_v3_classifier_key_map(
         "mobilenet_v3_large", **kw),
     "mobilenet_v3_small": lambda **kw: mobilenet_v3_classifier_key_map(
@@ -315,6 +385,18 @@ def convert_state_dict(
     out: Dict[Tuple[str, ...], np.ndarray] = {}
     missing = []
     for flax_path, torch_key, kind in entries:
+        if kind == "mean_minus_bias":
+            # running_mean with a pre-BN conv bias folded in (see the v0
+            # SeperableConv2d entries): torch_key is "<mean_key>|<bias_key>"
+            mean_key, bias_key = torch_key.split("|")
+            absent = [k for k in (mean_key, bias_key) if k not in state_dict]
+            if absent:
+                missing += absent
+                continue
+            out[tuple(flax_path.split("/"))] = (
+                np.asarray(state_dict[mean_key])
+                - np.asarray(state_dict[bias_key]))
+            continue
         if torch_key not in state_dict:
             missing.append(torch_key)
             continue
@@ -345,7 +427,14 @@ def synthesize_torch_state_dict(
         coll, rest = parts[0], parts[1:]
         if rest not in flat[coll]:
             raise KeyError(f"flax path {flax_path} not found")
-        sd[torch_key] = _INVERSE[kind](np.asarray(flat[coll][rest]))
+        value = np.asarray(flat[coll][rest])
+        if kind == "mean_minus_bias":
+            # underdetermined inverse: emit zero conv bias + raw mean
+            mean_key, bias_key = torch_key.split("|")
+            sd[mean_key] = value
+            sd[bias_key] = np.zeros_like(value)
+            continue
+        sd[torch_key] = _INVERSE[kind](value)
     return sd
 
 

@@ -128,7 +128,7 @@ def test_caffemodel_decodes_and_matches_weights(exported):
 
 def test_unknown_family_raises():
     with pytest.raises(ValueError):
-        export_caffe("pelee304", {}, "/tmp/x", "/tmp/y")
+        export_caffe("not_a_model", {}, "/tmp/x", "/tmp/y")
 
 
 def test_detector_caffe_export(tmp_path):
@@ -150,6 +150,83 @@ def test_detector_caffe_export(tmp_path):
     # every conv blob present in the binary
     buf = (tmp_path / "d.caffemodel").read_bytes()
     assert len(buf) > 1_000_000
+
+
+def test_ssdlite_mnv3_caffe_export(tmp_path):
+    import jax as _jax
+
+    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+
+    det = ssdlite320_mobilenet_v3_large(num_classes=5, size=(96, 96))
+    variables = _jax.device_get(det.init(_jax.random.PRNGKey(0)))
+    net = export_caffe("ssdlite320_mobilenet_v3_large", variables,
+                       str(tmp_path / "m.prototxt"),
+                       str(tmp_path / "m.caffemodel"),
+                       num_classes=5, input_size=96)
+    txt = (tmp_path / "m.prototxt").read_text()
+    assert txt.count('"Permute"') == 12
+    # hard-swish decomposition present (Power/Eltwise PROD chains)
+    assert '"Power"' in txt and "operation: PROD" not in txt  # PROD is binary-only param
+    assert 'type: "Eltwise"' in txt
+    # SE: two-bottom Scale with axis 0
+    assert "scale_param { axis: 0 }" in txt
+    # binary decodes layer-for-layer
+    buf = (tmp_path / "m.caffemodel").read_bytes()
+    layers = []
+    for field, wire, val in _iter_fields(buf):
+        if field == 100:
+            layers.append(_parse_layer(val))
+    assert len(layers) == len(net.layers)
+    by_name = {l["name"]: l for l in layers}
+    # C4 tap: expand conv of the last strided block exists
+    assert any(n.endswith("_expand") for n in by_name)
+    # an SE fc conv carries a bias blob
+    se_fc = next(l for n, l in by_name.items() if n.endswith("se_fc1"))
+    assert len(se_fc["blobs"]) == 2
+
+
+def test_pelee_caffe_export(tmp_path):
+    import jax as _jax
+
+    from demonet_tpu.models.builders import pelee304
+
+    det = pelee304(num_classes=4, size=(96, 96))
+    variables = _jax.device_get(det.init(_jax.random.PRNGKey(0)))
+    net = export_caffe("pelee304", variables,
+                       str(tmp_path / "p.prototxt"),
+                       str(tmp_path / "p.caffemodel"),
+                       num_classes=4, input_size=96)
+    txt = (tmp_path / "p.prototxt").read_text()
+    # two-branch dense layers concat 3 bottoms; stem concats 2
+    assert 'name: "stem_concat"' in txt
+    assert 'name: "denseblock1_layer1_concat"' in txt
+    assert txt.count('"Permute"') == 10     # 5 maps x (loc+conf)
+    # ResBlock residual adds: one per source
+    assert txt.count("_add") >= 5
+    buf = (tmp_path / "p.caffemodel").read_bytes()
+    layers = []
+    for field, wire, val in _iter_fields(buf):
+        if field == 100:
+            layers.append(_parse_layer(val))
+    assert len(layers) == len(net.layers)
+    by_name = {l["name"]: l for l in layers}
+    # transition3 conv weights round-trip
+    t3 = by_name["transition3"]
+    w = variables["params"]["extractor"]["trunk"]["transition3"]["conv"]["kernel"]
+    np.testing.assert_array_equal(
+        t3["blobs"][0]["data"].reshape(t3["blobs"][0]["shape"]),
+        np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def test_export_cli_caffe_format(tmp_path):
+    from demonet_tpu.export import cli as export_cli
+
+    args = export_cli.get_args_parser().parse_args([
+        "--model", "ssd_lite_mobilenet_v2", "--num-classes", "4",
+        "--format", "caffe", "--output", str(tmp_path / "deploy")])
+    export_cli.main(args)
+    assert (tmp_path / "deploy.prototxt").exists()
+    assert (tmp_path / "deploy.caffemodel").exists()
 
 
 def test_vgg_caffe_export(tmp_path):

@@ -174,6 +174,70 @@ def test_resize_scales_boxes():
     np.testing.assert_allclose(out_t["boxes"][0], [10, 5, 20, 15])
 
 
+def _sample_with_masks_kps():
+    img, t = _sample()
+    h, w = img.shape[:2]
+    mask = np.zeros((1, h, w), bool)
+    mask[0, 10:30, 20:40] = True
+    # 17 COCO keypoints: kp0 at box center visible, kp1 (left eye) visible,
+    # kp2 (right eye) invisible (must stay zeroed under flip).
+    kps = np.zeros((1, 17, 3), np.float32)
+    kps[0, 0] = [30.0, 20.0, 2.0]
+    kps[0, 1] = [25.0, 15.0, 2.0]
+    t = dict(t, masks=mask, keypoints=kps)
+    return img, t
+
+
+def test_hflip_masks_and_keypoints():
+    img, t = _sample_with_masks_kps()
+    w = img.shape[1]
+    _, out = T.RandomHorizontalFlip(p=1.0)(img, t, np.random.default_rng(0))
+    np.testing.assert_array_equal(out["masks"], t["masks"][:, :, ::-1])
+    # kp1 (left eye) swaps to slot 2 (right eye) with mirrored x
+    np.testing.assert_allclose(out["keypoints"][0, 2], [w - 25.0, 15.0, 2.0])
+    # the old slot-2 (invisible) lands in slot 1 and must be zeroed
+    np.testing.assert_allclose(out["keypoints"][0, 1], [0, 0, 0])
+    np.testing.assert_allclose(out["keypoints"][0, 0], [w - 30.0, 20.0, 2.0])
+
+
+def test_resize_masks_and_keypoints():
+    img, t = _sample_with_masks_kps()
+    out_img, out = T.Resize((20, 30))(img, t)
+    assert out["masks"].shape == (1, 20, 30)
+    # mask stays roughly the same fractional area under nearest resize
+    frac_in = t["masks"].mean()
+    frac_out = out["masks"].mean()
+    assert abs(frac_in - frac_out) < 0.05
+    np.testing.assert_allclose(out["keypoints"][0, 0], [15.0, 10.0, 2.0])
+
+
+def test_zoom_out_masks_and_keypoints():
+    img, t = _sample_with_masks_kps()
+    rng = np.random.default_rng(3)
+    out_img, out = T.RandomZoomOut(p=1.0)(img, t, rng)
+    assert out["masks"].shape[1:] == out_img.shape[:2]
+    assert out["masks"].sum() == t["masks"].sum()  # translated, not scaled
+    # keypoint offset matches box offset
+    dx = out["boxes"][0, 0] - t["boxes"][0, 0]
+    dy = out["boxes"][0, 1] - t["boxes"][0, 1]
+    np.testing.assert_allclose(out["keypoints"][0, 0, :2], [30 + dx, 20 + dy])
+    # invisible keypoints stay zeroed
+    np.testing.assert_allclose(out["keypoints"][0, 2], [0, 0, 0])
+
+
+def test_iou_crop_masks_and_keypoints():
+    img, t = _sample_with_masks_kps()
+    rng = np.random.default_rng(0)
+    out_img, out = T.RandomIoUCrop()(img, t, rng)
+    assert out["masks"].shape[0] == len(out["boxes"])
+    assert out["masks"].shape[1:] == out_img.shape[:2]
+    assert out["keypoints"].shape[0] == len(out["boxes"])
+    kps = out["keypoints"]
+    vis = kps[..., 2] > 0
+    assert (kps[vis][:, 0] <= out_img.shape[1]).all()
+    assert (kps[vis][:, 1] <= out_img.shape[0]).all()
+
+
 # ---------- evaluators ----------
 
 def test_coco_eval_crowd_is_ignored():

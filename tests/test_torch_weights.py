@@ -49,6 +49,42 @@ def test_ssdlite_mnv3_roundtrip_covers_all_params():
     assert sd["backbone.features.0.0.0.weight"].shape == (16, 3, 3, 3)
 
 
+def test_ssd_lite_mobilenet_v2_roundtrip():
+    from demonet_tpu.models import get_model
+
+    det = get_model("ssd_lite_mobilenet_v2", num_classes=4, size=(64, 64))
+    variables = jax.device_get(det.init(jax.random.PRNGKey(0)))
+    sd = _roundtrip("ssd_lite_mobilenet_v2", variables)
+    # v0 layout (backbone.py:45-67, box_head.py:24-56)
+    assert "backbone.body.0.0.weight" in sd            # stem conv
+    assert "backbone.body.13.conv.0.0.weight" in sd    # tapped block 13
+    assert "backbone.extra_blocks.0.conv.2.weight" in sd   # pw-linear conv
+    assert "multibox_head.cls_logits.0.0.weight" in sd     # dw conv
+    assert "multibox_head.cls_logits.0.0.bias" in sd       # folded dw bias
+    assert "multibox_head.cls_logits.5.weight" in sd       # plain last conv
+    assert sd["multibox_head.bbox_pred.5.weight"].shape == (24, 64, 1, 1)
+
+
+def test_mean_minus_bias_fold():
+    """BN(conv+b) == BN'(conv) with mean' = mean - b: the converter must
+    produce identical model outputs for biased torch dw convs."""
+    from demonet_tpu.utils.torch_weights import convert_state_dict
+
+    sd_keys = key_map_for("ssd_lite_mobilenet_v2")
+    entry = next(e for e in sd_keys if e[2] == "mean_minus_bias")
+    mean_key, bias_key = entry[1].split("|")
+    rng = np.random.default_rng(0)
+    # channel count from the conv kernel entry of the same block
+    sd = {mean_key: rng.normal(size=8).astype(np.float32),
+          bias_key: rng.normal(size=8).astype(np.float32)}
+    out = convert_state_dict("ssd_lite_mobilenet_v2", sd, strict=False)
+    got = out["batch_stats"]
+    # walk to the leaf
+    for part in entry[0].split("/")[1:]:
+        got = got[part]
+    np.testing.assert_allclose(got, sd[mean_key] - sd[bias_key])
+
+
 def test_mobilenet_v2_roundtrip():
     from demonet_tpu.models import mobilenet_v2
     import jax.numpy as jnp
