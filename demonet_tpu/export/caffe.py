@@ -22,7 +22,8 @@ transposing this framework's NHWC/HWIO weights (same transform as
 utils/torch_weights).
 
 Supported layer types: Input, Convolution (incl. depthwise via group),
-BatchNorm+Scale, ReLU (+ReLU6 as ReLU with documented clamp note), Power,
+BatchNorm+Scale, ReLU, ReLU6 (literal layer type, like the reference
+converter, model_converter.py:651-655), Power,
 Pooling, InnerProduct, Eltwise(SUM/PROD), two-bottom Scale, Concat,
 Softmax, Flatten, Permute, Reshape. hard-swish/hard-sigmoid are decomposed
 exactly into Power/ReLU/Eltwise chains; SE blocks use the SENet
@@ -158,10 +159,11 @@ class CaffeNet:
         return bottom
 
     def relu6(self, name: str, bottom: str) -> str:
-        # Caffe's standard schema lacks ReLU6; the convention (used by the
-        # reference converter too, model_converter.py relu6 path) is ReLU
-        # plus a documented clamp — SSD-fork deploys treat it as ReLU.
-        return self.relu(name, bottom)
+        # Emitted as a literal `ReLU6` layer type, exactly like the
+        # reference converter (model_converter.py:651-655) — nonstandard
+        # BVLC but understood by the mobile-deploy Caffe forks.
+        self.layers.append(Layer(name, "ReLU6", [bottom], [bottom], {}))
+        return bottom
 
     def pool(self, name: str, bottom: str, kernel: int, stride: int,
              method: str = "MAX", pad: int = 0,

@@ -1,0 +1,528 @@
+"""Generic jaxpr -> Caffe transpiler — the any-model conversion path.
+
+Capability parity with the reference's trace-walking converters
+(export/model_converter.py:967-1028 monkeypatches torch functionals;
+export/converter/torch_tools/pytorch_parser.py:44-833 walks a JIT trace):
+here the trace is a *jaxpr* — the framework-native, already-functional
+graph — so conversion is a single deterministic walk with no interception.
+
+    from demonet_tpu.export.tracing import trace_to_caffe
+    net = trace_to_caffe(lambda x: model.apply(vars, x, train=False),
+                         example, name="my_model")
+
+Mechanics:
+  * constants fold eagerly (any eqn whose inputs are all constants is
+    evaluated with the primitive's own bind) — BatchNorm's
+    rsqrt(var+eps)*scale chains collapse to per-channel constants;
+  * elementwise +-*/ against per-channel or scalar constants accumulate
+    into a pending affine (y = x*s + b) per tensor, flushed as ONE Scale
+    (per-channel) or Power (scalar) layer only when a non-affine consumer
+    needs the value — so conv+BN+activation emits conv/Scale/ReLU6 triples;
+  * layouts are tracked per tensor (jax is NHWC, Caffe NCHW): transposes
+    are free relabelings; reshape/concat translate axes through the layout
+    and emit a Permute only when Caffe memory order must change — exactly
+    the Permute+Flatten dance of SSD deploy graphs;
+  * max(x,0) -> ReLU; a following min(x,6) upgrades it to ReLU6 in place;
+    tensor*tensor -> Eltwise PROD; broadcast (B,1,1,C) gates (SE blocks)
+    -> Flatten + two-bottom Scale (the SENet deploy pattern);
+  * pjit / custom_jvp / checkpoint calls are inlined recursively.
+
+Verified numerically: tests/test_caffe_eval.py runs the emitted graph under
+export/caffe_eval.py and compares against the flax forward bit-for-bit
+tolerances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from demonet_tpu.export.caffe import CaffeNet
+
+_NCHW = (0, 3, 1, 2)  # caffe dim i holds jax axis _NCHW[i] for NHWC tensors
+
+
+@dataclasses.dataclass
+class _Tensor:
+    top: str                       # caffe blob name
+    shape: Tuple[int, ...]         # jax (logical) shape
+    layout: Tuple[int, ...]        # caffe dim i <- jax axis layout[i]
+    scale: Any = 1.0               # pending affine: value = raw*scale + shift
+    shift: Any = 0.0               # scalars or (C,) arrays over jax last axis
+    bshape: Optional[Tuple[int, ...]] = None  # pre-broadcast shape, if a view
+    relu_layer: int = -1           # index of a just-emitted ReLU (for ReLU6)
+
+    @property
+    def has_affine(self) -> bool:
+        return not (np.isscalar(self.scale) and self.scale == 1.0
+                    and np.isscalar(self.shift) and self.shift == 0.0)
+
+
+class _Converter:
+    def __init__(self, net: CaffeNet):
+        self.net = net
+        self.env: Dict[Any, Any] = {}   # jaxpr var -> _Tensor | np.ndarray
+        self.counters: Dict[str, int] = {}
+
+    # ---- naming ----
+    def name(self, kind: str) -> str:
+        i = self.counters.get(kind, 0)
+        self.counters[kind] = i + 1
+        return f"{kind}{i}"
+
+    # ---- env ----
+    def read(self, var):
+        from jax.extend.core import Literal
+
+        if isinstance(var, Literal):
+            return np.asarray(var.val)
+        return self.env[var]
+
+    def write(self, var, val) -> None:
+        self.env[var] = val
+
+    # ---- affine handling ----
+    def flush(self, t: _Tensor) -> _Tensor:
+        """Materialize a pending affine as a Scale (per-channel) or Power
+        (scalar) layer."""
+        if not t.has_affine:
+            return t
+        scalar = np.isscalar(t.scale) and np.isscalar(t.shift)
+        if scalar:
+            top = self.net.power(self.name("affine"), t.top,
+                                 scale=float(t.scale), shift=float(t.shift))
+        else:
+            c = t.shape[-1]
+            s = np.broadcast_to(np.asarray(t.scale, np.float32).reshape(-1), (c,))
+            b = np.broadcast_to(np.asarray(t.shift, np.float32).reshape(-1), (c,))
+            name = self.name("scale")
+            # Scale layer with learned blobs (bias_term)
+            from demonet_tpu.export.caffe import Layer
+
+            self.net.layers.append(Layer(
+                name, "Scale", [t.top], [name], {"bias_term": True},
+                [np.asarray(s), np.asarray(b)]))
+            top = name
+        return _Tensor(top, t.shape, t.layout, bshape=t.bshape)
+
+    def _channel_const(self, t: _Tensor, c) -> Optional[np.ndarray]:
+        """A constant broadcastable as per-(jax-last-axis)-channel, or None."""
+        c = np.asarray(c)
+        if c.ndim == 0:
+            return c
+        squeezed = c.reshape(-1) if c.size == c.shape[-1] else None
+        if squeezed is not None and (c.size == 1
+                                     or c.size == t.shape[-1]):
+            return c if c.ndim == 0 else squeezed
+        return None
+
+    def affine(self, t: _Tensor, scale, shift) -> _Tensor:
+        """Compose (x*scale + shift) onto the pending affine."""
+        return dataclasses.replace(
+            t, scale=t.scale * scale, shift=t.shift * scale + shift,
+            relu_layer=-1)
+
+    # ---- layout helpers ----
+    def to_jax_order(self, t: _Tensor) -> _Tensor:
+        """Permute caffe memory into jax dim order (identity layout)."""
+        ident = tuple(range(len(t.shape)))
+        if t.layout == ident:
+            return t
+        t = self.flush(t)
+        inv = tuple(t.layout.index(j) for j in ident)
+        top = self.net.permute(self.name("perm"), t.top, list(inv))
+        return _Tensor(top, t.shape, ident, bshape=t.bshape)
+
+    def to_nchw(self, t: _Tensor) -> _Tensor:
+        if t.layout == _NCHW:
+            return t
+        if len(t.shape) != 4:
+            raise ValueError(f"need 4D tensor, got {t.shape}")
+        t = self.flush(t)
+        # output caffe dim i must hold jax axis _NCHW[i]
+        order = tuple(t.layout.index(_NCHW[i]) for i in range(4))
+        top = self.net.permute(self.name("perm"), t.top, list(order))
+        return _Tensor(top, t.shape, _NCHW, bshape=t.bshape)
+
+
+def _sym_pad(padding) -> List[int]:
+    out = []
+    for lo, hi in padding:
+        if lo != hi:
+            raise NotImplementedError(f"asymmetric padding {padding}")
+        out.append(lo)
+    if len(set(out)) != 1:
+        raise NotImplementedError(f"non-uniform padding {padding}")
+    return out
+
+
+def trace_to_caffe(fn, example: Any, name: str = "model",
+                   input_name: str = "data") -> CaffeNet:
+    """Trace `fn(example)` (a single NHWC image-batch argument) and emit the
+    equivalent CaffeNet."""
+    import jax
+
+    closed = jax.make_jaxpr(fn)(example)
+    net = CaffeNet(name)
+    conv = _Converter(net)
+    jaxpr = closed.jaxpr
+
+    b, h, w, c = example.shape
+    top = net.input(input_name, [b, c, h, w])
+    conv.write(jaxpr.invars[0], _Tensor(top, tuple(example.shape), _NCHW))
+    for var, val in zip(jaxpr.constvars, closed.consts):
+        conv.write(var, np.asarray(val))
+
+    _walk(conv, jaxpr.eqns)
+
+    outs = []
+    for ov in jaxpr.outvars:
+        node = conv.read(ov)
+        if isinstance(node, _Tensor):
+            node = conv.flush(node)
+            outs.append(node.top)
+    return net
+
+
+def _walk(cv: _Converter, eqns) -> None:
+    for eqn in eqns:
+        prim = str(eqn.primitive)
+        ins = [cv.read(v) for v in eqn.invars]
+
+        # call-like primitives: inline
+        if prim in ("pjit", "jit", "custom_jvp_call", "custom_vjp_call",
+                    "custom_vjp_call_jaxpr", "closed_call", "core_call",
+                    "remat", "checkpoint", "custom_jvp_call_jaxpr"):
+            sub = (eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                   or eqn.params.get("fun_jaxpr"))
+            subj = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            consts = getattr(sub, "consts", ())
+            for var, val in zip(subj.constvars, consts):
+                cv.write(var, np.asarray(val))
+            for var, val in zip(subj.invars, ins):
+                cv.write(var, val)
+            _walk(cv, subj.eqns)
+            for outer, inner in zip(eqn.outvars, subj.outvars):
+                cv.write(outer, cv.read(inner))
+            continue
+
+        # constant folding: every input concrete -> evaluate eagerly
+        if all(not isinstance(x, _Tensor) for x in ins):
+            import jax
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                out = eqn.primitive.bind(
+                    *[np.asarray(x) for x in ins], **eqn.params)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for var, val in zip(eqn.outvars, outs):
+                cv.write(var, np.asarray(val))
+            continue
+
+        handler = _HANDLERS.get(prim)
+        if handler is None:
+            raise NotImplementedError(
+                f"primitive {prim!r} has no Caffe mapping (shapes "
+                f"{[getattr(v, 'shape', None) for v in ins]})")
+        handler(cv, eqn, ins)
+
+
+# ---------------------------------------------------------------------------
+# primitive handlers
+# ---------------------------------------------------------------------------
+
+
+def _h_conv(cv: _Converter, eqn, ins):
+    t, k = ins
+    if not isinstance(t, _Tensor) or isinstance(k, _Tensor):
+        raise NotImplementedError("conv with traced kernel")
+    p = eqn.params
+    dn = p["dimension_numbers"]
+    if (dn.lhs_spec, dn.rhs_spec, dn.out_spec) != ((0, 3, 1, 2), (3, 2, 0, 1),
+                                                   (0, 3, 1, 2)):
+        raise NotImplementedError(f"dimension_numbers {dn}")
+    if tuple(p.get("lhs_dilation", (1, 1))) != (1, 1):
+        raise NotImplementedError("transposed conv")
+    t = cv.to_nchw(cv.flush(t))
+    stride = p["window_strides"]
+    pad = _sym_pad(p["padding"])
+    dil = tuple(p.get("rhs_dilation", (1, 1)))
+    if stride[0] != stride[1] or pad[0] != pad[1] or dil[0] != dil[1]:
+        raise NotImplementedError("anisotropic conv params")
+    kk = np.asarray(k)  # HWIO
+    if kk.shape[0] != kk.shape[1]:
+        raise NotImplementedError("non-square kernel")
+    top = cv.net.conv(cv.name("conv"), t.top, kk, None,
+                      stride=int(stride[0]), pad=int(pad[0]),
+                      group=int(p.get("feature_group_count", 1)),
+                      dilation=int(dil[0]))
+    cv.write(eqn.outvars[0], _Tensor(top, eqn.outvars[0].aval.shape, _NCHW))
+
+
+def _h_binop(op):
+    def h(cv: _Converter, eqn, ins):
+        a, b = ins
+        a_t, b_t = isinstance(a, _Tensor), isinstance(b, _Tensor)
+        out_shape = tuple(eqn.outvars[0].aval.shape)
+        if a_t and b_t:
+            cv.write(eqn.outvars[0], _tensor_binop(cv, op, a, b, out_shape))
+            return
+        t, c = (a, b) if a_t else (b, a)
+        cc = cv._channel_const(t, c)
+        if cc is None:
+            raise NotImplementedError(
+                f"{op} with non-per-channel constant shape "
+                f"{np.asarray(c).shape} vs tensor {t.shape}")
+        cc = cc.astype(np.float64) if cc.ndim else float(cc)
+        if op == "add":
+            out = cv.affine(t, 1.0, cc)
+        elif op == "mul":
+            out = cv.affine(t, cc, 0.0)
+        elif op == "sub":
+            out = cv.affine(t, 1.0, -cc) if a_t else cv.affine(t, -1.0, cc)
+        elif op == "div":
+            if not a_t:
+                raise NotImplementedError("const / tensor")
+            out = cv.affine(t, 1.0 / cc, 0.0)
+        else:  # pragma: no cover
+            raise NotImplementedError(op)
+        cv.write(eqn.outvars[0], dataclasses.replace(out, shape=out_shape))
+    return h
+
+
+def _tensor_binop(cv: _Converter, op: str, a: _Tensor, b: _Tensor,
+                  out_shape) -> _Tensor:
+    # broadcast gate pattern: one side is a (B,1,..,C) view -> SENet Scale
+    for x, y in ((a, b), (b, a)):
+        ys = y.bshape or y.shape
+        if (op == "mul" and len(out_shape) == 4
+                and tuple(x.shape) == tuple(out_shape)
+                and len(ys) == 4 and ys[1] == 1 and ys[2] == 1):
+            x = cv.to_nchw(cv.flush(x))
+            y = cv.flush(dataclasses.replace(y, shape=ys))
+            flat = cv.net.flatten(cv.name("flat"), y.top)
+            top = cv.net.scale_bottoms(cv.name("se_scale"), x.top, flat,
+                                       axis=0)
+            return _Tensor(top, out_shape, x.layout)
+    if tuple(a.shape) != tuple(b.shape):
+        raise NotImplementedError(
+            f"broadcast eltwise {a.shape} vs {b.shape}")
+    a, b = cv.flush(a), cv.flush(b)
+    if a.layout != b.layout:
+        b = cv.to_jax_order(b)
+        a = cv.to_jax_order(a)
+    if op == "add":
+        top = cv.net.eltwise_sum(cv.name("add"), a.top, b.top)
+    elif op == "mul":
+        top = cv.net.eltwise_prod(cv.name("prod"), a.top, b.top)
+    elif op == "sub":
+        neg = cv.net.power(cv.name("neg"), b.top, scale=-1.0)
+        top = cv.net.eltwise_sum(cv.name("sub"), a.top, neg)
+    else:
+        raise NotImplementedError(f"tensor-{op}-tensor")
+    return _Tensor(top, out_shape, a.layout)
+
+
+def _h_max(cv: _Converter, eqn, ins):
+    a, b = ins
+    t = a if isinstance(a, _Tensor) else b
+    c = b if isinstance(a, _Tensor) else a
+    if isinstance(c, _Tensor):
+        raise NotImplementedError("tensor max tensor")
+    if np.asarray(c).size != 1 or float(np.asarray(c).reshape(())) != 0.0:
+        raise NotImplementedError("max against non-zero constant")
+    t = cv.flush(t)
+    cv.net.relu(cv.name("relu") + "_relu", t.top)
+    cv.write(eqn.outvars[0], _Tensor(
+        t.top, tuple(eqn.outvars[0].aval.shape), t.layout,
+        relu_layer=len(cv.net.layers) - 1))
+
+
+def _h_min(cv: _Converter, eqn, ins):
+    a, b = ins
+    t = a if isinstance(a, _Tensor) else b
+    c = b if isinstance(a, _Tensor) else a
+    if isinstance(c, _Tensor) or np.asarray(c).size != 1:
+        raise NotImplementedError("general min")
+    cval = float(np.asarray(c).reshape(()))
+    if t.relu_layer >= 0 and cval == 6.0:
+        # upgrade the just-emitted ReLU to a ReLU6 (reference converter's
+        # relu6 layer type, model_converter.py:651-655)
+        cv.net.layers[t.relu_layer].type = "ReLU6"
+        cv.write(eqn.outvars[0], dataclasses.replace(t, relu_layer=-1))
+        return
+    # exact clamp-above: c - relu(c - x)
+    t = cv.flush(t)
+    fl = cv.net.power(cv.name("clip_flip"), t.top, scale=-1.0, shift=cval)
+    cv.net.relu(cv.name("clip") + "_relu", fl)
+    top = cv.net.power(cv.name("clip_restore"), fl, scale=-1.0, shift=cval)
+    cv.write(eqn.outvars[0], _Tensor(
+        top, tuple(eqn.outvars[0].aval.shape), t.layout))
+
+
+def _h_broadcast(cv: _Converter, eqn, ins):
+    (t,) = ins
+    out_shape = tuple(eqn.outvars[0].aval.shape)
+    dims = tuple(eqn.params["broadcast_dimensions"])
+    if len(dims) == len(t.shape) and len(out_shape) == len(t.shape) and all(
+            out_shape[d] == s or s == 1
+            for d, s in zip(dims, t.shape)):
+        # same-rank broadcast view: remember the original shape
+        cv.write(eqn.outvars[0], dataclasses.replace(
+            t, shape=out_shape, bshape=tuple(t.shape)))
+        return
+    inserted = tuple(i for i in range(len(out_shape)) if i not in dims)
+    if (len(dims) == len(t.shape)
+            and all(out_shape[d] == s for d, s in zip(dims, t.shape))
+            and all(out_shape[i] == 1 for i in inserted)):
+        # rank raise by size-1 dims (e.g. keepdims re-expansion, (B,C) ->
+        # (B,1,1,C)): caffe memory is unchanged — Reshape with the source
+        # dims leading and the 1s appended; layout records the dim mapping
+        t = cv.to_jax_order(cv.flush(t))
+        caffe_order = tuple(dims) + inserted
+        new_dims = [0 if (a == 0 and out_shape[a] == t.shape[0])
+                    else int(out_shape[a]) for a in caffe_order]
+        top = cv.net.reshape(cv.name("expand"), t.top, new_dims)
+        layout = caffe_order
+        cv.write(eqn.outvars[0], _Tensor(
+            top, out_shape, layout, bshape=tuple(t.shape)))
+        return
+    raise NotImplementedError(
+        f"broadcast_in_dim {t.shape} -> {out_shape} dims {dims}")
+
+
+def _h_reshape(cv: _Converter, eqn, ins):
+    (t,) = ins
+    out_shape = tuple(eqn.outvars[0].aval.shape)
+    if tuple(t.shape) == out_shape:
+        cv.write(eqn.outvars[0], t)
+        return
+    t = cv.to_jax_order(cv.flush(t))
+    if (len(out_shape) == 2 and out_shape[0] == t.shape[0]):
+        top = cv.net.flatten(cv.name("flatten"), t.top)
+    else:
+        dims = [0 if (i == 0 and d == t.shape[0]) else int(d)
+                for i, d in enumerate(out_shape)]
+        top = cv.net.reshape(cv.name("reshape"), t.top, dims)
+    cv.write(eqn.outvars[0], _Tensor(
+        top, out_shape, tuple(range(len(out_shape)))))
+
+
+def _h_transpose(cv: _Converter, eqn, ins):
+    (t,) = ins
+    perm = eqn.params["permutation"]
+    out_shape = tuple(eqn.outvars[0].aval.shape)
+    # free relabeling: caffe dim i held jax axis layout[i]; that axis is now
+    # called perm.index(layout[i]) in the transposed tensor
+    new_layout = tuple(perm.index(ax) for ax in t.layout)
+    cv.write(eqn.outvars[0], dataclasses.replace(
+        t, shape=out_shape, layout=new_layout))
+
+
+def _h_concat(cv: _Converter, eqn, ins):
+    out_shape = tuple(eqn.outvars[0].aval.shape)
+    dim = eqn.params["dimension"]
+    ts = [cv.flush(x) for x in ins]
+    layout = ts[0].layout
+    if any(x.layout != layout for x in ts):
+        ts = [cv.to_jax_order(x) for x in ts]
+        layout = ts[0].layout
+    caffe_axis = layout.index(dim)
+    top = cv.net.concat(cv.name("concat"), [x.top for x in ts],
+                        axis=caffe_axis)
+    cv.write(eqn.outvars[0], _Tensor(top, out_shape, layout))
+
+
+def _h_reduce_sum(cv: _Converter, eqn, ins):
+    (t,) = ins
+    axes = tuple(eqn.params["axes"])
+    out_shape = tuple(eqn.outvars[0].aval.shape)
+    if len(t.shape) == 4 and t.layout == _NCHW and axes == (1, 2):
+        # global average pool * (H*W); the division folds back via affine
+        t = cv.flush(t)
+        hw = t.shape[1] * t.shape[2]
+        pooled = cv.net.pool(cv.name("gpool"), t.top, 1, 1, "AVE",
+                             global_pooling=True)
+        top = cv.net.flatten(cv.name("flatten"), pooled)
+        cv.write(eqn.outvars[0], _Tensor(
+            top, out_shape, (0, 1), scale=float(hw)))
+        return
+    raise NotImplementedError(f"reduce_sum axes {axes} on {t.shape}")
+
+
+def _h_reduce_window_max(cv: _Converter, eqn, ins):
+    (t,) = ins
+    p = eqn.params
+    wd = p["window_dimensions"]
+    st = p["window_strides"]
+    pad = p["padding"]
+    if len(t.shape) != 4 or wd[0] != 1 or wd[3] != 1 or wd[1] != wd[2]:
+        raise NotImplementedError(f"reduce_window dims {wd}")
+    t = cv.to_nchw(cv.flush(t))
+    lo = [pad[1][0], pad[2][0]]
+    hi = [pad[1][1], pad[2][1]]
+    # torch ceil_mode adds extra high padding; caffe expresses it as
+    # round_mode CEIL with symmetric pad
+    ceil = any(h > l for l, h in zip(lo, hi))
+    top = cv.net.pool(cv.name("pool"), t.top, int(wd[1]), int(st[1]),
+                      "MAX", pad=int(lo[0]), ceil_mode=ceil)
+    cv.write(eqn.outvars[0], _Tensor(
+        top, tuple(eqn.outvars[0].aval.shape), _NCHW))
+
+
+def _h_dot_general(cv: _Converter, eqn, ins):
+    a, b = ins
+    if not isinstance(a, _Tensor) or isinstance(b, _Tensor):
+        raise NotImplementedError("dot_general operand pattern")
+    dn = eqn.params["dimension_numbers"]
+    if dn != (((1,), (0,)), ((), ())):
+        raise NotImplementedError(f"dot_general dims {dn}")
+    a = cv.flush(a)
+    w = np.asarray(b)  # (I, O) flax kernel
+    top = cv.net.inner_product(cv.name("fc"), a.top, w, None)
+    cv.write(eqn.outvars[0], _Tensor(
+        top, tuple(eqn.outvars[0].aval.shape), (0, 1)))
+
+
+def _h_noop(cv: _Converter, eqn, ins):
+    cv.write(eqn.outvars[0], ins[0])
+
+
+def _h_sqrt_like(power):
+    def h(cv: _Converter, eqn, ins):
+        (t,) = ins
+        t = cv.flush(t)
+        from demonet_tpu.export.caffe import Layer
+
+        name = cv.name("pow")
+        cv.net.layers.append(Layer(
+            name, "Power", [t.top], [name], {"power": power}))
+        cv.write(eqn.outvars[0], _Tensor(
+            name, tuple(eqn.outvars[0].aval.shape), t.layout))
+    return h
+
+
+_HANDLERS = {
+    "conv_general_dilated": _h_conv,
+    "add": _h_binop("add"),
+    "sub": _h_binop("sub"),
+    "mul": _h_binop("mul"),
+    "div": _h_binop("div"),
+    "max": _h_max,
+    "min": _h_min,
+    "broadcast_in_dim": _h_broadcast,
+    "reshape": _h_reshape,
+    "transpose": _h_transpose,
+    "concatenate": _h_concat,
+    "reduce_sum": _h_reduce_sum,
+    "reduce_window_max": _h_reduce_window_max,
+    "reduce_max": None,  # only appears inside softmax; unsupported
+    "dot_general": _h_dot_general,
+    "convert_element_type": _h_noop,
+    "stop_gradient": _h_noop,
+    "copy": _h_noop,
+    "sqrt": _h_sqrt_like(0.5),
+    "rsqrt": _h_sqrt_like(-0.5),
+}
+_HANDLERS = {k: v for k, v in _HANDLERS.items() if v is not None}
