@@ -116,6 +116,32 @@ def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
     return jax.vmap(per_problem)(cand_boxes, cand_scores)
 
 
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                 gather_impl: str) -> jnp.ndarray:
+    """out[b, r] = table[b, idx[b, r]] — 'pallas' = exact one-hot-matmul
+    kernel (ops/gather_pallas.py, bit-identical, ~2.5x faster on TPU than
+    XLA's gather when the gather expands); 'xla' = flat row-gather.
+
+    'auto' picks pallas only when R >= N: the kernel streams the whole
+    table past every index chunk, so for few-rows-from-a-big-table
+    (R << N, e.g. the final top-300 gather) XLA's scalar gather wins
+    (measured 2.9 ms vs 3.7 ms; the expanding candidate gather is the
+    opposite, 5.9 ms XLA vs 2.3 ms pallas — tools/check_gather_tpu.py).
+    """
+    if gather_impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        expanding = idx.shape[1] >= table.shape[1]
+        gather_impl = "pallas" if (on_tpu and expanding) else "xla"
+    if gather_impl == "pallas":
+        from demonet_tpu.ops.gather_pallas import gather_rows_batch
+
+        return gather_rows_batch(table, idx)
+    b, n, d = table.shape
+    flat = table.reshape(b * n, d)
+    gi = (jnp.arange(b, dtype=idx.dtype)[:, None] * n + idx).reshape(-1)
+    return jnp.take(flat, gi, axis=0).reshape(b, idx.shape[1], d)
+
+
 def postprocess_detections(
     cls_logits: jnp.ndarray,
     bbox_regression: jnp.ndarray,
@@ -124,6 +150,7 @@ def postprocess_detections(
     original_sizes: Optional[jnp.ndarray] = None,
     nms_impl: str = "auto",
     topk_impl: str = "exact",
+    gather_impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Batched decode + class-wise NMS (+ rescale to original image sizes).
 
@@ -157,14 +184,8 @@ def postprocess_detections(
         top_sc, top_idx = jax.lax.approx_max_k(fg_scores, k)
     else:
         top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # sorted desc
-    # candidate gather as ONE flat row-gather over (B*A, 4): measured ~20%
-    # faster end-to-end than the vmapped per-image gather (the batched
-    # gather's extra batch dimension defeats XLA's TPU gather lowering)
-    flat_boxes_ba = boxes.reshape(b * a, 4)
-    global_idx = (jnp.arange(b, dtype=top_idx.dtype)[:, None] * a
-                  + top_idx.reshape(b, -1)).reshape(-1)
-    cand_boxes = jnp.take(flat_boxes_ba, global_idx, axis=0).reshape(
-        b, c - 1, k, 4)
+    cand_boxes = _gather_rows(
+        boxes, top_idx.reshape(b, -1), gather_impl).reshape(b, c - 1, k, 4)
     # Score-threshold filter (strict >, generalized_ssd.py:371).
     cand_sc = jnp.where(top_sc > config.score_thresh, top_sc, _NEG_INF)
 
@@ -178,13 +199,9 @@ def postprocess_detections(
     d = config.detections_per_img
     out_scores, out_idx = jax.lax.top_k(flat_sc, d)  # (B, D)
     valid = out_scores > _NEG_INF / 2
-    # final gather as ONE flat row-gather (same trick as the candidate
-    # gather above — measurably faster than the vmapped per-image take);
     # labels need no gather at all: the flat index encodes (class, cand)
-    flat2 = cand_boxes.reshape(b * (c - 1) * k, 4)
-    gi2 = (jnp.arange(b, dtype=out_idx.dtype)[:, None] * ((c - 1) * k)
-           + out_idx).reshape(-1)
-    out_boxes = jnp.take(flat2, gi2, axis=0).reshape(b, d, 4)
+    out_boxes = _gather_rows(
+        cand_boxes.reshape(b, (c - 1) * k, 4), out_idx, gather_impl)
     out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
     out_labels = jnp.where(valid, (out_idx // k).astype(jnp.int32) + 1, 0)
     out_scores = jnp.where(valid, out_scores, 0.0)

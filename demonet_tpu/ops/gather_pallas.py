@@ -1,27 +1,28 @@
 """Pallas TPU kernel: batched row-gather as exact one-hot matmuls.
 
 Replaces XLA's scalar-expansion gather for the detection postprocess hot
-spots (models/detection.py candidate + final gathers — measured 5.9 ms +
-part of 4.6 ms at batch 64, ~30% of end-to-end inference; see DESIGN.md).
+spots (models/detection.py candidate + final gathers — measured 5.9 ms of
+the 34 ms batch-64 inference; this kernel does the same gather in 2.3 ms).
 
-Idea: gathering R rows from an (N, D) table is (R, N) one-hot @ (N, D) —
-MXU work instead of element-at-a-time address generation. Done naively the
-one-hot costs O(R*N) VPU compares, which is as slow as the gather. The
-two-level decomposition fixes it: split idx = hi*L + lo and reshape the
-table to (L, H*D); then
+Idea: gathering R rows from an (N, D) table is a one-hot matmul — MXU work
+instead of element-at-a-time address generation. Done naively the one-hot
+costs O(R*N) VPU compares, as slow as the gather. Two fixes compose:
 
-    M[r]   = onehot_lo(r) @ T'      # (R, L) @ (L, H*D): picks row `lo`
-                                    # of EVERY hi-segment at once
-    out[r] = (M[r] * repeat(onehot_hi(r), D)) @ S   # select the segment;
-                                    # S is the fixed (H*D, D) summing matrix
+  * two-level radix split (idx = hi*128 + lo): a (128, R) lo-one-hot
+    selects row `lo` of EVERY hi-segment in one (H*D, 128) @ (128, R)
+    matmul; a cheap per-segment mask + fixed summing matmul then picks the
+    right segment — O(R*128) instead of O(R*N);
+  * TRANSPOSED orientation: indices ride the LANE dimension, so the
+    one-hot build is a dense sublane-iota compare and every block is
+    lane-contiguous (the row-major orientation costs 3x more in relayouts
+    and sparse (chunk,1) DMAs — measured 7.9 ms vs 2.3 ms).
 
-Both matmuls are selections: every output element is ONE table value plus
-exact zeros. Exactness on the bf16 MXU is guaranteed by splitting the f32
-table into three bf16 pieces with disjoint 8-bit significand ranges
-(T = P1 + P2 + P3 exactly); each piece's product is exact (bf16 x {0,1}
--> f32) and the final f32 sums reassemble the original bits with no
-rounding. A compiled-vs-jnp.take equality test pins this
-(tests/test_gather_pallas.py, tools/check_gather_tpu.py on hardware).
+Exactness on the bf16 MXU is guaranteed by splitting the f32 table into
+three bf16 pieces with disjoint 8-bit significand ranges (T = P1+P2+P3
+exactly); each piece's product selects one bf16 value against exact zeros,
+and the f32 sums reassemble the original bits with no rounding. Compiled
+kernel output is asserted bit-identical to jnp.take_along_axis
+(tests/test_gather_pallas.py; tools/check_gather_tpu.py on hardware).
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LO = 128  # low-radix: one-hot width (MXU contraction dim)
+_LO = 128  # low-radix width: one-hot rows / MXU contraction dim
 
 
 def _round_up(x: int, m: int) -> int:
@@ -57,36 +58,36 @@ def _split3(t: jnp.ndarray):
 
 def _gather_kernel(idx_ref, t1_ref, t2_ref, t3_ref, out_ref, *,
                    h: int, d: int, chunk: int):
-    idx = idx_ref[0]  # (chunk, 1) int32
+    idx = idx_ref[0]                                  # (1, chunk) int32
     lo = idx % _LO
     hi = idx // _LO
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, _LO), 1)
-    onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+    lo_sub = jax.lax.broadcasted_iota(jnp.int32, (_LO, chunk), 0)
+    oh_t = (lo_sub == lo).astype(jnp.bfloat16)        # (LO, chunk)
     hd = h * d
-    acc = jnp.zeros((chunk, hd), jnp.float32)
+    acc = jnp.zeros((hd, chunk), jnp.float32)
     for t_ref in (t1_ref, t2_ref, t3_ref):
-        acc = acc + jnp.dot(onehot_lo, t_ref[0],
+        acc = acc + jnp.dot(t_ref[0], oh_t,
                             preferred_element_type=jnp.float32)
-    # segment select: repeat the hi one-hot D times along lanes
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, hd), 1) // d
-    seg = (hi == hi_iota).astype(jnp.float32)
-    masked = acc * seg
-    # sum over the H segments: (chunk, H*D) @ (H*D, D) with a fixed 0/1
-    # summing matrix — again one value + exact zeros per output
-    col = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 1)
-    rowmod = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 0) % d
-    s = (col == rowmod).astype(jnp.bfloat16)
+    # acc[h*d + c, r] = piece-sum of table[hi_seg*LO + lo[r], c] for every
+    # segment; mask down to the right segment, then sum over segments with
+    # a fixed 0/1 matrix — one value + exact zeros per output either way.
+    hi_sub = jax.lax.broadcasted_iota(jnp.int32, (hd, chunk), 0) // d
+    masked = acc * (hi_sub == hi).astype(jnp.float32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (d, hd), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (d, hd), 1) % d
+    s_t = (srow == scol).astype(jnp.bfloat16)         # (D, H*D) summing
     m1, m2, m3 = _split3(masked)
-    out = jnp.dot(m1, s, preferred_element_type=jnp.float32)
-    out = out + jnp.dot(m2, s, preferred_element_type=jnp.float32)
-    out = out + jnp.dot(m3, s, preferred_element_type=jnp.float32)
+    out = jnp.dot(s_t, m1, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(s_t, m2, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(s_t, m3, preferred_element_type=jnp.float32)
     out_ref[0] = out
 
 
 def gather_rows_batch(
     table: jnp.ndarray,
     idx: jnp.ndarray,
-    chunk: int = 512,
+    chunk: int = 2048,
+    coord_major: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched exact row-gather: out[b, r] = table[b, idx[b, r]].
@@ -94,8 +95,11 @@ def gather_rows_batch(
     Args:
       table: (B, N, D) float32 (D small, e.g. 4 box coords).
       idx: (B, R) int32 in [0, N).
+      coord_major: return (B, D, R) (the kernel's native layout, saves a
+        transpose when the consumer wants per-coordinate planes).
 
-    Returns (B, R, D) float32, bit-identical to jnp.take_along_axis.
+    Returns (B, R, D) float32 — bit-identical to
+    jnp.take_along_axis(table, idx[..., None], axis=1) — or (B, D, R).
     """
     b, n, d = table.shape
     _, r = idx.shape
@@ -103,31 +107,33 @@ def gather_rows_batch(
     h = n_pad // _LO
     r_pad = _round_up(r, chunk)
 
-    tp = jnp.zeros((b, n_pad, d), table.dtype).at[:, :n].set(table)
-    # (B, N, D) -> (B, H, LO, D) -> (B, LO, H, D) -> (B, LO, H*D)
-    tp = tp.reshape(b, h, _LO, d).transpose(0, 2, 1, 3).reshape(b, _LO, h * d)
+    tp = jnp.zeros((b, n_pad, d), jnp.float32).at[:, :n].set(
+        table.astype(jnp.float32))
+    # (B, N, D) -> (B, H, LO, D) -> (B, H, D, LO) -> (B, H*D, LO) so that
+    # tp[b, h*D + c, lo] = table[b, h*LO + lo, c]
+    tp = tp.reshape(b, h, _LO, d).transpose(0, 1, 3, 2).reshape(
+        b, h * d, _LO)
     t1, t2, t3 = _split3(tp)
-    idx_p = jnp.zeros((b, r_pad, 1), jnp.int32).at[:, :r, 0].set(
+    idx_p = jnp.zeros((b, 1, r_pad), jnp.int32).at[:, 0, :r].set(
         idx.astype(jnp.int32))
 
     grid = (b, r_pad // chunk)
     kernel = functools.partial(_gather_kernel, h=h, d=d, chunk=chunk)
+    tspec = pl.BlockSpec((1, h * d, _LO), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, chunk, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, chunk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LO, h * d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LO, h * d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LO, h * d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tspec, tspec, tspec,
         ],
-        out_specs=pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, d, chunk), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, d, r_pad), jnp.float32),
         interpret=interpret,
     )(idx_p, t1, t2, t3)
-    return out[:, :r]
+    if coord_major:
+        return out[:, :, :r]
+    return jnp.swapaxes(out[:, :, :r], 1, 2)
