@@ -167,10 +167,9 @@ class CocoEvaluator:
 
         payload = pickle.dumps(self.detections)
         n = np.int64(len(payload))
-        max_n = int(all_gather_arrays(np.asarray(n)).max())
-        buf = np.zeros(max_n, np.uint8)
+        sizes = all_gather_arrays(np.asarray(n))  # one collective, reused
+        buf = np.zeros(int(sizes.max()), np.uint8)
         buf[:len(payload)] = np.frombuffer(payload, np.uint8)
-        sizes = all_gather_arrays(np.asarray(n))
         bufs = all_gather_arrays(buf)
         merged: Dict[int, Dict] = {}
         for size, b in zip(sizes, bufs):

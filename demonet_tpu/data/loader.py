@@ -228,7 +228,13 @@ class DetectionLoader:
 
     def __len__(self) -> int:
         if self.batch_sampler is not None:
-            return len(list(self._batch_indices()))
+            # the sampler must be re-iterable (GroupedBatchSampler is);
+            # cache the count per epoch — counting consumes one full
+            # iteration (shuffle + bucketing), so don't repeat it per call
+            if getattr(self, "_len_cache", (None, 0))[0] != self.epoch:
+                self._len_cache = (
+                    self.epoch, sum(1 for _ in self._batch_indices()))
+            return self._len_cache[1]
         n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
@@ -336,10 +342,11 @@ class DetectionLoader:
     def _iter_pool(self) -> Iterator[Dict[str, np.ndarray]]:
         """Process-pool iteration with a shared-memory image slab.
 
-        In-flight window = n_slots = num_workers + prefetch. The consumer
-        holds the yielded slot's view until it requests the next batch, at
-        which point the slot is recycled; results are re-ordered by
-        sequence number so output order matches the serial path.
+        In-flight window = n_slots = num_workers + prefetch. Workers write
+        decoded batches into slab slots; the main process copies each slot
+        out before yielding (batches are OWNED arrays — safe to hold across
+        steps) and recycles it. Results are re-ordered by sequence number
+        so output order matches the serial path.
         """
         nh, nw = self.image_size
         n_slots = self.num_workers + max(1, self.prefetch)
@@ -385,15 +392,29 @@ class DetectionLoader:
             next_seq = 0
             while next_seq < submitted or not done_submitting:
                 while next_seq not in pending:
-                    seq, slot, meta, err = result_q.get()
+                    try:
+                        seq, slot, meta, err = result_q.get(timeout=60.0)
+                    except queue.Empty:
+                        # distinguish a slow decode from a dead worker
+                        # (e.g. OOM-killed: no Python exception reaches
+                        # result_q) — without this the loop hangs forever
+                        dead = [w for w in workers if not w.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"{len(dead)} loader worker(s) died "
+                                f"(exitcodes {[w.exitcode for w in dead]})")
+                        continue
                     if err is not None:
                         raise RuntimeError(f"loader worker failed: {err}")
                     pending[seq] = (slot, meta)
                 slot, meta = pending.pop(next_seq)
                 batch = dict(meta)
-                batch["images"] = slab[slot]
+                # copy OUT of the shared slab: the slot is recycled by a
+                # worker right after the next request and the mapping is
+                # unlinked when iteration ends — yielding the live view
+                # corrupts (or segfaults) any batch held across steps
+                batch["images"] = np.array(slab[slot])
                 yield batch
-                # consumer is done with the yielded view; recycle the slot
                 free_slots.append(slot)
                 next_seq += 1
                 submit()

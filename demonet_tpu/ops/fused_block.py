@@ -44,18 +44,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def fold_conv_bn(params: Dict, stats: Dict) -> Dict[str, jnp.ndarray]:
+def fold_conv_bn(params: Dict, stats: Dict,
+                 eps: float = 1e-3) -> Dict[str, jnp.ndarray]:
     """ConvBNAct params+stats -> folded {'kernel', 'bias'}.
 
     y = (conv(x) - mean) * scale/sqrt(var+eps) + bias
       = conv(x, k * s') + (bias - mean * s')        with s' per-channel.
+
+    `eps` must match the block's BN: 1e-3 for the MobileNetV3 trunk
+    (layers.py ConvBNAct default), 1e-5 for MobileNetV2 blocks
+    (InvertedResidualV2 / the legacy extractor).
     """
     k = jnp.asarray(params["conv"]["kernel"], jnp.float32)
     scale = jnp.asarray(params["bn"]["scale"], jnp.float32)
     bias = jnp.asarray(params["bn"]["bias"], jnp.float32)
     mean = jnp.asarray(stats["bn"]["mean"], jnp.float32)
     var = jnp.asarray(stats["bn"]["var"], jnp.float32)
-    eps = 1e-3  # MobileNetV3 trunk BN eps (layers.py ConvBNAct default)
     s = scale * jax.lax.rsqrt(var + eps)
     return {"kernel": k * s, "bias": bias - mean * s}
 

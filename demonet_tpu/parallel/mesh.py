@@ -74,9 +74,12 @@ def host_local_values(tree: Any) -> Any:
             return np.asarray(arr)
         if arr.is_fully_replicated:
             return np.asarray(arr)
-        shards = sorted(
-            arr.addressable_shards,
-            key=lambda s: (s.index[0].start or 0) if arr.ndim else 0)
+        if arr.ndim == 0:
+            # non-replicated scalar: every addressable shard holds the
+            # whole value (0-d arrays cannot be concatenated)
+            return np.asarray(arr.addressable_shards[0].data)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     return jax.tree_util.tree_map(fetch, tree)

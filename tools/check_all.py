@@ -46,6 +46,10 @@ def main() -> None:
         label="dryrun_multichip(8) on virtual CPU mesh")
 
     if not args.skip_bench:
+        run([sys.executable, "tools/check_nms_tpu.py"],
+            label="compiled Pallas NMS exactness (real device)")
+        run([sys.executable, "tools/check_gather_tpu.py"],
+            label="compiled Pallas gather bit-exactness (real device)")
         run([sys.executable, "bench.py"], label="bench (real device)")
 
     print("\nALL CHECKS PASSED")

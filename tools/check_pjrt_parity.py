@@ -1,20 +1,24 @@
 """Compare the C++ PJRT runner's dumped outputs with Python on the same input.
 
 Flow (the reference's libtorch tracing test run end-to-end,
-/root/reference/test/tracing/test_demonet_tracing.cpp:17-57):
+/root/reference/test/tracing/test_demonet_tracing.cpp:17-57). The input
+MUST be the same fixed random image on both sides — step 2 writes it,
+the runner reads it via input_file= (zeros would tie every score and
+leave the box order unspecified):
 
     python -m demonet_tpu.export.cli --model ssdlite320_mobilenet_v3_large \
         --output /tmp/m.bin --mlir /tmp/m.mlir
+    python tools/check_pjrt_parity.py /tmp/m.bin /tmp/pjrt_out --make-input
     AXON_POOL_SVC_OVERRIDE=127.0.0.1 TPU_WORKER_HOSTNAMES=localhost \
       cpp/build/pjrt_runner /opt/axon/libaxon_pjrt.so /tmp/m.mlir \
         1x320x320x3 5 /tmp/m.mlir.compile_opts.pb dump_out=/tmp/pjrt_out \
+        input_file=/tmp/pjrt_in.bin \
         topology=v5e:1x1x1 session_id=$(uuidgen) remote_compile=1 \
         local_only=0 priority=0 n_slices=1
     python tools/check_pjrt_parity.py /tmp/m.bin /tmp/pjrt_out
 
-The runner feeds zeros; this script calls the same exported artifact on
-zeros through jax.export and asserts every flattened output matches the
-corresponding dump.
+This script then calls the same exported artifact on the same input
+through jax.export and asserts every flattened output matches the dump.
 """
 
 from __future__ import annotations
