@@ -23,6 +23,9 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--dataset-labels", default="coco", choices=["coco", "voc"])
     p.add_argument("--checkpoint", default="")
     p.add_argument("--torch-weights", default="")
+    p.add_argument("--pretrained", action="store_true",
+                   help="published checkpoint from the weights cache "
+                        "(utils/pretrained.py)")
     p.add_argument("--images", nargs="+", required=True)
     p.add_argument("--score-thresh", default=0.5, type=float)
     p.add_argument("--output-dir", default="predictions")
@@ -47,12 +50,11 @@ def main(args) -> None:
 
     detector = get_model(args.model, num_classes=args.num_classes)
     variables = detector.init(jax.random.PRNGKey(0))
-    if args.torch_weights:
-        from demonet_tpu.utils.torch_weights import (
-            convert_state_dict, load_torch_checkpoint)
+    if args.pretrained or args.torch_weights:
+        from demonet_tpu.utils.pretrained import load_pretrained_variables
 
-        variables = convert_state_dict(
-            args.model, load_torch_checkpoint(args.torch_weights))
+        variables = load_pretrained_variables(
+            args.model, path=args.torch_weights or None)
     elif args.checkpoint:
         import optax
 

@@ -47,6 +47,30 @@ def test_repeated_and_boundary_indices():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_auto_impl_heuristic(monkeypatch):
+    """'auto' = pallas only on TPU AND when the gather expands (R >= N);
+    the final top-300 gather from a 27k-row table must stay on XLA."""
+    import demonet_tpu.models.detection as det
+    import jax
+
+    calls = []
+
+    def fake_pallas(table, idx):
+        calls.append("pallas")
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
+
+    import demonet_tpu.ops.gather_pallas as gp
+    monkeypatch.setattr(gp, "gather_rows_batch", fake_pallas)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    table_small = jnp.zeros((2, 100, 4))
+    det._gather_rows(table_small, jnp.zeros((2, 500), jnp.int32), "auto")
+    assert calls == ["pallas"]                     # expanding -> pallas
+    det._gather_rows(jnp.zeros((2, 27000, 4)),
+                     jnp.zeros((2, 300), jnp.int32), "auto")
+    assert calls == ["pallas"]                     # contracting -> xla
+
+
 def test_postprocess_gather_impl_parity():
     """postprocess_detections(gather_impl='pallas'|'xla') parity on CPU via
     interpret-free path: the xla path must equal take_along_axis too."""
