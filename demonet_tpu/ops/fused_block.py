@@ -35,11 +35,10 @@ that round-3 work; the unfused XLA path remains the production path.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
