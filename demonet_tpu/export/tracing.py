@@ -25,7 +25,15 @@ Mechanics:
   * max(x,0) -> ReLU; a following min(x,6) upgrades it to ReLU6 in place;
     tensor*tensor -> Eltwise PROD; broadcast (B,1,1,C) gates (SE blocks)
     -> Flatten + two-bottom Scale (the SENet deploy pattern);
-  * pjit / custom_jvp / checkpoint calls are inlined recursively.
+  * pjit / custom_jvp / checkpoint calls are inlined recursively;
+  * torch-style average pools (reduce_window_sum then divide-by-counts,
+    the peleenet.avg_pool_torch pattern) emit a Caffe AVE pool, with the
+    counts division verified against Caffe's clipped-window semantics and
+    cancelled.
+
+Covers 4 of the 5 detector families end-to-end (mnv2/mnv3 classifiers +
+ssdlite/pelee detectors, raw heads); VGG's L2-Normalize chain is the one
+remaining pattern (its hand-built graph in export/caffe.py covers it).
 
 Verified numerically: tests/test_caffe_eval.py runs the emitted graph under
 export/caffe_eval.py and compares against the flax forward bit-for-bit
@@ -53,6 +61,8 @@ class _Tensor:
     shift: Any = 0.0               # scalars or (C,) arrays over jax last axis
     bshape: Optional[Tuple[int, ...]] = None  # pre-broadcast shape, if a view
     relu_layer: int = -1           # index of a just-emitted ReLU (for ReLU6)
+    div_counts: Optional[np.ndarray] = None   # AVE-pool counts a following
+    #                                           div must match and cancel
 
     @property
     def has_affine(self) -> bool:
@@ -87,6 +97,10 @@ class _Converter:
     def flush(self, t: _Tensor) -> _Tensor:
         """Materialize a pending affine as a Scale (per-channel) or Power
         (scalar) layer."""
+        if t.div_counts is not None:
+            raise NotImplementedError(
+                "sum-pool output consumed before its counts division — "
+                "not the torch average-pool pattern")
         if not t.has_affine:
             return t
         scalar = np.isscalar(t.scale) and np.isscalar(t.shift)
@@ -181,8 +195,9 @@ def trace_to_caffe(fn, example: Any, name: str = "model",
     for ov in jaxpr.outvars:
         node = conv.read(ov)
         if isinstance(node, _Tensor):
-            node = conv.flush(node)
+            node = conv.to_jax_order(conv.flush(node))
             outs.append(node.top)
+    net.output_tops = outs  # blob names of fn's outputs, in order
     return net
 
 
@@ -269,6 +284,19 @@ def _h_binop(op):
             cv.write(eqn.outvars[0], _tensor_binop(cv, op, a, b, out_shape))
             return
         t, c = (a, b) if a_t else (b, a)
+        if op == "div" and a_t and t.div_counts is not None:
+            # the AVE-pool counts division: the emitted Caffe pool already
+            # divided — verify the counts match and consume the op
+            want = t.div_counts[None, :, :, None]
+            if np.allclose(np.broadcast_to(want, np.asarray(c).shape)
+                           if np.asarray(c).ndim == 4 else want,
+                           np.asarray(c)):
+                cv.write(eqn.outvars[0], dataclasses.replace(
+                    t, shape=out_shape, div_counts=None))
+                return
+            raise NotImplementedError(
+                "division after sum-pool does not match the Caffe AVE "
+                "count semantics")
         cc = cv._channel_const(t, c)
         if cc is None:
             raise NotImplementedError(
@@ -471,6 +499,50 @@ def _h_reduce_window_max(cv: _Converter, eqn, ins):
         top, tuple(eqn.outvars[0].aval.shape), _NCHW))
 
 
+def _caffe_ave_counts(h: int, w: int, k: int, s: int, pad: int,
+                      ceil: bool) -> np.ndarray:
+    """Per-position divisor of a Caffe AVE pool (window clipped to the
+    padded bounds — pooling_layer.cpp; mirrors export/caffe_eval._pool)."""
+    def osize(dim):
+        num = dim + 2 * pad - k
+        o = (int(np.ceil(num / s)) if ceil else int(np.floor(num / s))) + 1
+        if pad > 0 and (o - 1) * s >= dim + pad:
+            o -= 1
+        return o
+    oh, ow = osize(h), osize(w)
+    counts = np.zeros((oh, ow), np.int64)
+    for i in range(oh):
+        for j in range(ow):
+            he = min(i * s + k, h + 2 * pad)
+            we = min(j * s + k, w + 2 * pad)
+            counts[i, j] = (he - i * s) * (we - j * s)
+    return counts
+
+
+def _h_reduce_window_sum(cv: _Converter, eqn, ins):
+    """torch-style average pool arrives as reduce_window(add) followed by a
+    division by a (folded-constant) element-count array (the
+    peleenet.avg_pool_torch pattern). Emit a Caffe AVE pool — which divides
+    internally — and record the counts the upcoming div must cancel."""
+    (t,) = ins
+    p = eqn.params
+    wd = p["window_dimensions"]
+    st = p["window_strides"]
+    pad = p["padding"]
+    if len(t.shape) != 4 or wd[0] != 1 or wd[3] != 1 or wd[1] != wd[2]:
+        raise NotImplementedError(f"reduce_window_sum dims {wd}")
+    t4 = cv.to_nchw(cv.flush(t))
+    lo, hi = pad[1][0], pad[1][1]
+    ceil = hi > lo
+    k, s = int(wd[1]), int(st[1])
+    top = cv.net.pool(cv.name("pool"), t4.top, k, s, "AVE", pad=int(lo),
+                      ceil_mode=ceil)
+    counts = _caffe_ave_counts(t.shape[1], t.shape[2], k, s, int(lo), ceil)
+    cv.write(eqn.outvars[0], _Tensor(
+        top, tuple(eqn.outvars[0].aval.shape), _NCHW,
+        div_counts=counts))
+
+
 def _h_dot_general(cv: _Converter, eqn, ins):
     a, b = ins
     if not isinstance(a, _Tensor) or isinstance(b, _Tensor):
@@ -517,6 +589,7 @@ _HANDLERS = {
     "concatenate": _h_concat,
     "reduce_sum": _h_reduce_sum,
     "reduce_window_max": _h_reduce_window_max,
+    "reduce_window_sum": _h_reduce_window_sum,
     "reduce_max": None,  # only appears inside softmax; unsupported
     "dot_general": _h_dot_general,
     "convert_element_type": _h_noop,

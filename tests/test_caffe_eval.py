@@ -169,12 +169,34 @@ def test_generic_ssdlite_detector_raw_heads(rng_img):
     net = trace_to_caffe(raw, jnp.asarray(rng_img), name="ssdlite_generic")
     want_cls, want_reg = (np.asarray(v) for v in raw(jnp.asarray(rng_img)))
     blobs = run_caffenet(net, {"data": _nchw(rng_img)})
-    outs = [l.tops[0] for l in net.layers if l.type == "Concat"]
-    got = {blobs[t].shape: blobs[t] for t in outs[-2:]}
-    np.testing.assert_allclose(got[want_cls.shape], want_cls,
-                               rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(got[want_reg.shape], want_reg,
-                               rtol=2e-4, atol=2e-5)
+    got_cls, got_reg = (blobs[t] for t in net.output_tops)
+    np.testing.assert_allclose(got_cls, want_cls, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_reg, want_reg, rtol=2e-4, atol=2e-5)
+
+
+def test_generic_pelee_detector_raw_heads(rng_img):
+    """PeleeNet trunk through the generic path: two-branch dense layers,
+    ceil-mode AVE transition pools (reduce_window_sum + counts-division
+    cancellation), ResBlocks, 1x1 heads."""
+    from demonet_tpu.export.tracing import trace_to_caffe
+    from demonet_tpu.models.builders import pelee304
+
+    det = pelee304(num_classes=4, size=(64, 64))
+    variables = jax.device_get(det.init(jax.random.PRNGKey(2)))
+
+    def raw(x):
+        out = det.model.apply(variables, x, train=False)
+        return out["cls_logits"], out["bbox_regression"]
+
+    net = trace_to_caffe(raw, jnp.asarray(rng_img), name="pelee_generic")
+    want_cls, want_reg = (np.asarray(v) for v in raw(jnp.asarray(rng_img)))
+    blobs = run_caffenet(net, {"data": _nchw(rng_img)})
+    got_cls, got_reg = (blobs[t] for t in net.output_tops)
+    np.testing.assert_allclose(got_cls, want_cls, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_reg, want_reg, rtol=2e-4, atol=2e-5)
+    # AVE pools present with the caffe count semantics handled
+    assert any(l.type == "Pooling" and l.params.get("pool") == 1
+               for l in net.layers)
 
 
 def test_generic_unsupported_primitive_message():
