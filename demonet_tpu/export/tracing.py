@@ -29,11 +29,14 @@ Mechanics:
   * torch-style average pools (reduce_window_sum then divide-by-counts,
     the peleenet.avg_pool_torch pattern) emit a Caffe AVE pool, with the
     counts division verified against Caffe's clipped-window semantics and
-    cancelled.
+    cancelled;
+  * the conv4_3 L2-rescale chain (x^2 -> channel sum -> sqrt ->
+    eps-guarded divide, times learned scales) pattern-matches to the
+    SSD-fork Normalize layer.
 
-Covers 4 of the 5 detector families end-to-end (mnv2/mnv3 classifiers +
-ssdlite/pelee detectors, raw heads); VGG's L2-Normalize chain is the one
-remaining pattern (its hand-built graph in export/caffe.py covers it).
+Covers all 5 detector families end-to-end (raw heads, like the
+reference's ONNX export) plus the classifiers — verified numerically per
+family in tests/test_caffe_eval.py.
 
 Verified numerically: tests/test_caffe_eval.py runs the emitted graph under
 export/caffe_eval.py and compares against the flax forward bit-for-bit
@@ -63,6 +66,8 @@ class _Tensor:
     relu_layer: int = -1           # index of a just-emitted ReLU (for ReLU6)
     div_counts: Optional[np.ndarray] = None   # AVE-pool counts a following
     #                                           div must match and cancel
+    norm_of: Optional[Tuple[str, str]] = None  # (source_top, stage) for the
+    #   L2-Normalize chain x^2 -> channel-sum -> sqrt ("sq"/"sum"/"sqrt")
 
     @property
     def has_affine(self) -> bool:
@@ -101,6 +106,10 @@ class _Converter:
             raise NotImplementedError(
                 "sum-pool output consumed before its counts division — "
                 "not the torch average-pool pattern")
+        if t.norm_of is not None:
+            raise NotImplementedError(
+                "x^2/sum/sqrt chain consumed outside an L2-Normalize "
+                "division")
         if not t.has_affine:
             return t
         scalar = np.isscalar(t.scale) and np.isscalar(t.shift)
@@ -280,6 +289,20 @@ def _h_binop(op):
         a, b = ins
         a_t, b_t = isinstance(a, _Tensor), isinstance(b, _Tensor)
         out_shape = tuple(eqn.outvars[0].aval.shape)
+        if (op == "div" and a_t and b_t and b.norm_of is not None
+                and b.norm_of[1] == "sqrt"):
+            # x*scale / ||x||_2 — the SSD conv4_3 trick: emit the SSD-fork
+            # Normalize layer (per-channel learned scales)
+            src = b.norm_of[0]
+            if a.top != src or not np.all(np.asarray(a.shift) == 0.0):
+                raise NotImplementedError(
+                    "L2 norm divides a different tensor than it normalizes")
+            c = a.shape[-1]
+            scale = np.broadcast_to(
+                np.asarray(a.scale, np.float32).reshape(-1), (c,))
+            top = cv.net.normalize(cv.name("l2norm"), src, np.asarray(scale))
+            cv.write(eqn.outvars[0], _Tensor(top, out_shape, a.layout))
+            return
         if a_t and b_t:
             cv.write(eqn.outvars[0], _tensor_binop(cv, op, a, b, out_shape))
             return
@@ -358,6 +381,13 @@ def _h_max(cv: _Converter, eqn, ins):
     c = b if isinstance(a, _Tensor) else a
     if isinstance(c, _Tensor):
         raise NotImplementedError("tensor max tensor")
+    if (t.norm_of is not None and t.norm_of[1] == "sqrt"
+            and np.asarray(c).size == 1
+            and float(np.asarray(c).reshape(())) < 1e-6):
+        # the epsilon guard on the L2 norm (caffe Normalize has its own)
+        cv.write(eqn.outvars[0], dataclasses.replace(
+            t, shape=tuple(eqn.outvars[0].aval.shape)))
+        return
     if np.asarray(c).size != 1 or float(np.asarray(c).reshape(())) != 0.0:
         raise NotImplementedError("max against non-zero constant")
     t = cv.flush(t)
@@ -393,6 +423,11 @@ def _h_broadcast(cv: _Converter, eqn, ins):
     (t,) = ins
     out_shape = tuple(eqn.outvars[0].aval.shape)
     dims = tuple(eqn.params["broadcast_dimensions"])
+    if t.norm_of is not None:
+        # shape bookkeeping inside the L2-Normalize chain (keepdims
+        # re-expansion and the divisor broadcast) — no layers
+        cv.write(eqn.outvars[0], dataclasses.replace(t, shape=out_shape))
+        return
     if len(dims) == len(t.shape) and len(out_shape) == len(t.shape) and all(
             out_shape[d] == s or s == 1
             for d, s in zip(dims, t.shape)):
@@ -425,6 +460,10 @@ def _h_reshape(cv: _Converter, eqn, ins):
     out_shape = tuple(eqn.outvars[0].aval.shape)
     if tuple(t.shape) == out_shape:
         cv.write(eqn.outvars[0], t)
+        return
+    if t.norm_of is not None:
+        # keepdims-style reshape inside the L2-Normalize chain
+        cv.write(eqn.outvars[0], dataclasses.replace(t, shape=out_shape))
         return
     t = cv.to_jax_order(cv.flush(t))
     if (len(out_shape) == 2 and out_shape[0] == t.shape[0]):
@@ -462,10 +501,32 @@ def _h_concat(cv: _Converter, eqn, ins):
     cv.write(eqn.outvars[0], _Tensor(top, out_shape, layout))
 
 
+def _h_square(cv: _Converter, eqn, ins):
+    # start of the L2-Normalize chain: materialize the source (so the
+    # div side references the same blob) and tag, emitting nothing yet
+    (t,) = ins
+    t = cv.flush(t)
+    cv.write(eqn.invars[0], t)
+    cv.write(eqn.outvars[0], dataclasses.replace(t, norm_of=(t.top, "sq")))
+
+
+def _h_integer_pow(cv: _Converter, eqn, ins):
+    if eqn.params["y"] == 2:
+        _h_square(cv, eqn, ins)
+        return
+    raise NotImplementedError(f"integer_pow y={eqn.params['y']}")
+
+
 def _h_reduce_sum(cv: _Converter, eqn, ins):
     (t,) = ins
     axes = tuple(eqn.params["axes"])
     out_shape = tuple(eqn.outvars[0].aval.shape)
+    if (t.norm_of is not None and t.norm_of[1] == "sq"
+            and axes == (len(t.shape) - 1,)):
+        # channel-wise sum of squares — second stage of L2-Normalize
+        cv.write(eqn.outvars[0], dataclasses.replace(
+            t, shape=out_shape, norm_of=(t.norm_of[0], "sum")))
+        return
     if len(t.shape) == 4 and t.layout == _NCHW and axes == (1, 2):
         # global average pool * (H*W); the division folds back via affine
         t = cv.flush(t)
@@ -564,6 +625,11 @@ def _h_noop(cv: _Converter, eqn, ins):
 def _h_sqrt_like(power):
     def h(cv: _Converter, eqn, ins):
         (t,) = ins
+        if (power == 0.5 and t.norm_of is not None
+                and t.norm_of[1] == "sum"):
+            cv.write(eqn.outvars[0], dataclasses.replace(
+                t, norm_of=(t.norm_of[0], "sqrt")))
+            return
         t = cv.flush(t)
         from demonet_tpu.export.caffe import Layer
 
@@ -597,5 +663,7 @@ _HANDLERS = {
     "copy": _h_noop,
     "sqrt": _h_sqrt_like(0.5),
     "rsqrt": _h_sqrt_like(-0.5),
+    "integer_pow": _h_integer_pow,
+    "square": _h_square,
 }
 _HANDLERS = {k: v for k, v in _HANDLERS.items() if v is not None}

@@ -199,6 +199,30 @@ def test_generic_pelee_detector_raw_heads(rng_img):
                for l in net.layers)
 
 
+def test_generic_vgg_detector_raw_heads():
+    """SSD300-VGG16 through the generic path: the conv4_3 L2-Normalize
+    chain (x^2 -> channel sum -> sqrt -> eps-guarded divide, times learned
+    scales) must pattern-match to the SSD-fork Normalize layer."""
+    from demonet_tpu.export.tracing import trace_to_caffe
+    from demonet_tpu.models import ssd300_vgg16
+
+    det = ssd300_vgg16(num_classes=3)
+    variables = jax.device_get(det.init(jax.random.PRNGKey(4)))
+    img = np.random.default_rng(5).random((1, 64, 64, 3), np.float32)
+
+    def raw(x):
+        out = det.model.apply(variables, x, train=False)
+        return out["cls_logits"], out["bbox_regression"]
+
+    net = trace_to_caffe(raw, jnp.asarray(img), name="vgg_generic")
+    assert any(l.type == "Normalize" for l in net.layers)
+    want_cls, want_reg = (np.asarray(v) for v in raw(jnp.asarray(img)))
+    blobs = run_caffenet(net, {"data": _nchw(img)})
+    got_cls, got_reg = (blobs[t] for t in net.output_tops)
+    np.testing.assert_allclose(got_cls, want_cls, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_reg, want_reg, rtol=2e-4, atol=2e-5)
+
+
 def test_generic_unsupported_primitive_message():
     from demonet_tpu.export.tracing import trace_to_caffe
 
