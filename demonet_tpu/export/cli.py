@@ -30,6 +30,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--format", default="stablehlo",
                    choices=["stablehlo", "caffe"],
                    help="caffe = prototxt+caffemodel (reference convert.py)")
+    p.add_argument("--generic", action="store_true",
+                   help="with --format caffe: convert by tracing the jaxpr "
+                        "(export/tracing.py) instead of the hand-built "
+                        "family graph — works for any conv model built "
+                        "from supported primitives")
     p.add_argument("--output", default="model.stablehlo.bin")
     p.add_argument("--mlir", default="", help="also dump StableHLO text here")
     p.add_argument("--platforms", default="tpu",
@@ -80,15 +85,35 @@ def main(args) -> None:
         print(f"loaded checkpoint {args.checkpoint}")
 
     if args.format == "caffe":
-        from demonet_tpu.export.caffe import export_caffe
-
         prefix = args.output
         for suffix in (".stablehlo.bin", ".bin"):
             if prefix.endswith(suffix):
                 prefix = prefix[: -len(suffix)]
         variables = jax.device_get(variables)
-        export_caffe(args.model, variables, f"{prefix}.prototxt",
-                     f"{prefix}.caffemodel", num_classes=args.num_classes)
+        if args.generic:
+            from demonet_tpu.export.tracing import trace_to_caffe
+
+            if hasattr(detector, "config"):
+                h, w = detector.config.size
+
+                def raw(x):
+                    out = detector.model.apply(variables, x, train=False)
+                    return out["cls_logits"], out["bbox_regression"]
+            else:
+                h, w = 224, 224
+                raw = lambda x: detector.apply(variables, x, train=False)
+            net = trace_to_caffe(
+                raw, jnp.zeros((1, h, w, 3), jnp.float32), name=args.model)
+            with open(f"{prefix}.prototxt", "w") as f:
+                f.write(net.to_prototxt())
+            with open(f"{prefix}.caffemodel", "wb") as f:
+                f.write(net.to_caffemodel())
+        else:
+            from demonet_tpu.export.caffe import export_caffe
+
+            export_caffe(args.model, variables, f"{prefix}.prototxt",
+                         f"{prefix}.caffemodel",
+                         num_classes=args.num_classes)
         print(f"wrote {prefix}.prototxt + {prefix}.caffemodel")
         return
 

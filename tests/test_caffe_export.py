@@ -252,3 +252,16 @@ def test_vgg_caffe_export(tmp_path):
             layers[l["name"]] = l
     assert layers["fc6"]["blobs"][0]["shape"] == [1024, 512, 3, 3]
     assert layers["conv4_3_norm"]["blobs"][0]["shape"] == [512]
+
+
+def test_export_cli_caffe_generic(tmp_path):
+    from demonet_tpu.export import cli as export_cli
+
+    args = export_cli.get_args_parser().parse_args([
+        "--model", "ssd_lite_mobilenet_v2", "--num-classes", "4",
+        "--format", "caffe", "--generic",
+        "--output", str(tmp_path / "gen")])
+    export_cli.main(args)
+    txt = (tmp_path / "gen.prototxt").read_text()
+    assert 'type: "Convolution"' in txt
+    assert (tmp_path / "gen.caffemodel").stat().st_size > 100_000
