@@ -12,6 +12,10 @@ implemented from its published semantics:
     intersection-over-detection-area instead of IoU
   * precision envelope (monotone non-increasing) sampled at the recall grid
   * the standard 12-number summary printout
+  * iou_type="keypoints": OKS similarity (pycocotools computeOks — COCO
+    person sigmas, gt-area normalization, 2x-box distance for invisible
+    gts, no-visible-keypoint gts as ignore-regions), maxDets 20,
+    all/medium/large ranges, the 10-number keypoint summary
 
 `synchronize_between_processes` merges detections across hosts by pickling
 the per-host detection dict and transporting the bytes with an array
@@ -43,6 +47,17 @@ AREA_RANGES = {
 MAX_DETS = (1, 10, 100)
 _AREA_LO_HI = (np.asarray([lo for lo, _ in AREA_RANGES.values()]),
                np.asarray([hi for _, hi in AREA_RANGES.values()]))
+
+# keypoint (OKS) protocol: COCO person sigmas, maxDets 20, no small range
+KPT_OKS_SIGMAS = np.asarray(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]) / 10.0
+KPT_AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+KPT_MAX_DETS = (20,)
 
 
 def _match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
@@ -93,6 +108,42 @@ def _match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
     return dtm
 
 
+def _oks(d_kps: np.ndarray, g_kps: np.ndarray, g_boxes_xyxy: np.ndarray,
+         g_areas: np.ndarray, sigmas: np.ndarray) -> np.ndarray:
+    """Object Keypoint Similarity (pycocotools computeOks semantics).
+
+    d_kps: (D, K, 3); g_kps: (G, K, 3); g_areas: the annotation areas.
+    For gts with no visible keypoint, distances are measured to the
+    2x-expanded gt box (the computeOks z-clip branch).
+    """
+    d_n, g_n = len(d_kps), len(g_kps)
+    if d_n == 0 or g_n == 0:
+        return np.zeros((d_n, g_n))
+    var = (sigmas * 2.0) ** 2                     # (K,)
+    out = np.zeros((d_n, g_n))
+    for j in range(g_n):
+        xg, yg, vg = g_kps[j, :, 0], g_kps[j, :, 1], g_kps[j, :, 2]
+        vis = vg > 0
+        k1 = int(vis.sum())
+        if k1 > 0:
+            dx = d_kps[:, :, 0] - xg[None, :]     # (D, K)
+            dy = d_kps[:, :, 1] - yg[None, :]
+        else:
+            bx0, by0, bx1, by1 = g_boxes_xyxy[j]
+            w, h = bx1 - bx0, by1 - by0
+            x0, x1 = bx0 - w, bx1 + w             # 2x-expanded box
+            y0, y1 = by0 - h, by1 + h
+            xd, yd = d_kps[:, :, 0], d_kps[:, :, 1]
+            dx = np.clip(x0 - xd, 0, None) + np.clip(xd - x1, 0, None)
+            dy = np.clip(y0 - yd, 0, None) + np.clip(yd - y1, 0, None)
+        e = (dx ** 2 + dy ** 2) / var[None, :] / (
+            g_areas[j] + np.spacing(1)) / 2.0
+        if k1 > 0:
+            e = e[:, vis]
+        out[:, j] = np.exp(-e).sum(axis=1) / e.shape[1]
+    return out
+
+
 def _iou_xyxy(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     """Pairwise IoU; for crowd gt, intersection / detection area."""
     if len(dt) == 0 or len(gt) == 0:
@@ -119,7 +170,24 @@ class CocoEvaluator:
     """
 
     def __init__(self, ground_truth: Iterable[Dict],
-                 category_ids: Optional[Sequence[int]] = None):
+                 category_ids: Optional[Sequence[int]] = None,
+                 iou_type: str = "bbox",
+                 kpt_sigmas: Optional[np.ndarray] = None):
+        if iou_type not in ("bbox", "keypoints"):
+            raise ValueError(f"iou_type {iou_type!r}")  # segm: no mask heads
+        self.iou_type = iou_type
+        if iou_type == "keypoints":
+            self.area_ranges = dict(KPT_AREA_RANGES)
+            self.max_dets = KPT_MAX_DETS
+            self.kpt_sigmas = np.asarray(
+                kpt_sigmas if kpt_sigmas is not None else KPT_OKS_SIGMAS)
+        else:
+            self.area_ranges = dict(AREA_RANGES)
+            self.max_dets = MAX_DETS
+            self.kpt_sigmas = None
+        self._area_lo_hi = (
+            np.asarray([lo for lo, _ in self.area_ranges.values()]),
+            np.asarray([hi for _, hi in self.area_ranges.values()]))
         self.gts: Dict[int, Dict] = {}
         cats = set()
         for g in ground_truth:
@@ -135,6 +203,13 @@ class CocoEvaluator:
             self.gts[img_id] = {
                 "boxes": boxes, "labels": labels,
                 "iscrowd": iscrowd, "areas": areas}
+            if "keypoints" in g:
+                self.gts[img_id]["keypoints"] = np.asarray(
+                    g["keypoints"], np.float64)
+            elif iou_type == "keypoints":
+                raise ValueError(
+                    f"iou_type='keypoints' but image {img_id} ground truth "
+                    "has no 'keypoints'")
             cats.update(labels.tolist())
         self.category_ids = sorted(category_ids) if category_ids is not None \
             else sorted(cats)
@@ -150,6 +225,11 @@ class CocoEvaluator:
                 "scores": np.asarray(r["scores"], np.float64).reshape(-1),
                 "labels": np.asarray(r["labels"], np.int64).reshape(-1),
             }
+            if "keypoints" in r:
+                det["keypoints"] = np.asarray(r["keypoints"], np.float64)
+            elif self.iou_type == "keypoints":
+                raise ValueError("iou_type='keypoints' detections need a "
+                                 "'keypoints' field")
             # last write wins; dedup of repeated ids from padded distributed
             # sharding (reference coco_eval.py:183-184 keeps unique ids)
             self.detections[img_id] = det
@@ -210,23 +290,37 @@ class CocoEvaluator:
         g_boxes = gt_all["boxes"][gm]
         g_crowd = gt_all["iscrowd"][gm]
         g_area = gt_all["areas"][gm]
-        area_lo, area_hi = _AREA_LO_HI  # (A,) each
+        g_kps = gt_all.get("keypoints")
+        if g_kps is not None:
+            g_kps = g_kps[gm]
+        area_lo, area_hi = self._area_lo_hi  # (A,) each
         # (A, G): per-range gt ignore flags
         g_ignore = (g_crowd[None, :]
                     | (g_area[None, :] < area_lo[:, None])
                     | (g_area[None, :] > area_hi[:, None]))
+        if self.iou_type == "keypoints":
+            # gts without visible keypoints are ignore-regions
+            # (pycocotools COCOeval._prepare: ignore |= num_keypoints == 0)
+            no_vis = (g_kps[:, :, 2] > 0).sum(axis=1) == 0
+            g_ignore = g_ignore | no_vis[None, :]
         num_gt = (~g_ignore).sum(axis=1).astype(np.int64)
 
         if dm.any():
             d_boxes = det["boxes"][dm]
             d_scores = det["scores"][dm]
+            d_kps = det.get("keypoints")
+            if d_kps is not None:
+                d_kps = d_kps[dm]
         else:
             d_boxes = np.zeros((0, 4))
             d_scores = np.zeros(0)
-        d_order = np.argsort(-d_scores, kind="mergesort")[:max(MAX_DETS)]
+            d_kps = None
+        d_order = np.argsort(-d_scores, kind="mergesort")[:max(self.max_dets)]
         d_boxes, d_scores = d_boxes[d_order], d_scores[d_order]
+        if d_kps is not None:
+            d_kps = d_kps[d_order]
 
-        a_n, t_n = len(AREA_RANGES), len(IOU_THRS)
+        a_n, t_n = len(self.area_ranges), len(IOU_THRS)
         d_n, g_n = len(d_boxes), len(g_boxes)
         if d_n == 0:
             return {
@@ -251,7 +345,10 @@ class CocoEvaluator:
                 "num_gt": num_gt,
             }
 
-        ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
+        if self.iou_type == "keypoints":
+            ious = _oks(d_kps, g_kps, g_boxes, g_area, self.kpt_sigmas)
+        else:
+            ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
 
         # Stack (area, thr) into one problem axis P = A*T.
         thr_eff = np.minimum(IOU_THRS, 1 - 1e-10)
@@ -294,8 +391,8 @@ class CocoEvaluator:
 
     def accumulate(self) -> None:
         k_n = len(self.category_ids)
-        a_n = len(AREA_RANGES)
-        m_n = len(MAX_DETS)
+        a_n = len(self.area_ranges)
+        m_n = len(self.max_dets)
         t_n, r_n = len(IOU_THRS), len(REC_THRS)
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
@@ -311,7 +408,7 @@ class CocoEvaluator:
                 num_gt = int(num_gt_a[ai])
                 if num_gt == 0:
                     continue
-                for mi, max_det in enumerate(MAX_DETS):
+                for mi, max_det in enumerate(self.max_dets):
                     scores = np.concatenate(
                         [e["dt_scores"][:max_det] for e in per_img])
                     order = np.argsort(-scores, kind="mergesort")
@@ -343,8 +440,8 @@ class CocoEvaluator:
               area: str = "all", max_det: int = 100) -> float:
         if self._eval is None:
             raise RuntimeError("accumulate() first")
-        ai = list(AREA_RANGES).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_ranges).index(area)
+        mi = self.max_dets.index(max_det)
         if ap:
             s = self._eval["precision"][:, :, :, ai, mi]
             if iou is not None:
@@ -359,21 +456,36 @@ class CocoEvaluator:
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self) -> Dict[str, float]:
-        """Print the 12 standard lines; return the stats dict."""
-        defs = [
-            ("AP", True, None, "all", 100),
-            ("AP50", True, 0.5, "all", 100),
-            ("AP75", True, 0.75, "all", 100),
-            ("APs", True, None, "small", 100),
-            ("APm", True, None, "medium", 100),
-            ("APl", True, None, "large", 100),
-            ("AR1", False, None, "all", 1),
-            ("AR10", False, None, "all", 10),
-            ("AR100", False, None, "all", 100),
-            ("ARs", False, None, "small", 100),
-            ("ARm", False, None, "medium", 100),
-            ("ARl", False, None, "large", 100),
-        ]
+        """Print the standard summary (12 lines bbox, 10 keypoints);
+        return the stats dict."""
+        if self.iou_type == "keypoints":
+            defs = [
+                ("AP", True, None, "all", 20),
+                ("AP50", True, 0.5, "all", 20),
+                ("AP75", True, 0.75, "all", 20),
+                ("APm", True, None, "medium", 20),
+                ("APl", True, None, "large", 20),
+                ("AR", False, None, "all", 20),
+                ("AR50", False, 0.5, "all", 20),
+                ("AR75", False, 0.75, "all", 20),
+                ("ARm", False, None, "medium", 20),
+                ("ARl", False, None, "large", 20),
+            ]
+        else:
+            defs = [
+                ("AP", True, None, "all", 100),
+                ("AP50", True, 0.5, "all", 100),
+                ("AP75", True, 0.75, "all", 100),
+                ("APs", True, None, "small", 100),
+                ("APm", True, None, "medium", 100),
+                ("APl", True, None, "large", 100),
+                ("AR1", False, None, "all", 1),
+                ("AR10", False, None, "all", 10),
+                ("AR100", False, None, "all", 100),
+                ("ARs", False, None, "small", 100),
+                ("ARm", False, None, "medium", 100),
+                ("ARl", False, None, "large", 100),
+            ]
         stats = {}
         for name, ap, iou, area, md in defs:
             v = self._summ(ap, iou, area, md)
