@@ -183,7 +183,7 @@ class CocoDetection:
                 boxes[:, 2:] += boxes[:, :2]
                 boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
                 boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
-            out.append({
+            entry = {
                 "image_id": img_id,
                 "boxes": boxes,
                 "labels": np.asarray([a["category_id"] for a in anns], np.int64),
@@ -191,7 +191,18 @@ class CocoDetection:
                 "areas": np.asarray([a.get("area",
                                            (a["bbox"][2] * a["bbox"][3]))
                                      for a in anns], np.float64),
-            })
+            }
+            if self.return_keypoints:
+                # COCO-flat rows -> (N, K, 3) for
+                # CocoEvaluator(iou_type='keypoints')
+                kps = [np.asarray(a.get("keypoints", []),
+                                  np.float64).reshape(-1, 3) for a in anns]
+                width = max((k.shape[0] for k in kps), default=0)
+                entry["keypoints"] = (
+                    np.stack([np.pad(k, ((0, width - k.shape[0]), (0, 0)))
+                              for k in kps])
+                    if kps else np.zeros((0, 0, 3)))
+            out.append(entry)
         return out
 
 

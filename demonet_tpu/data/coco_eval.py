@@ -45,8 +45,6 @@ AREA_RANGES = {
     "large": (96.0 ** 2, 1e10),
 }
 MAX_DETS = (1, 10, 100)
-_AREA_LO_HI = (np.asarray([lo for lo, _ in AREA_RANGES.values()]),
-               np.asarray([hi for _, hi in AREA_RANGES.values()]))
 
 # keypoint (OKS) protocol: COCO person sigmas, maxDets 20, no small range
 KPT_OKS_SIGMAS = np.asarray(
@@ -106,6 +104,30 @@ def _match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
         dtm[rows, d] = m[rows]
         gt_taken[rows, m[rows]] = True
     return dtm
+
+
+def _as_kps(kps, n: int) -> np.ndarray:
+    """Normalize a keypoints field to (N, K, 3): accepts (N, K, 3),
+    COCO-flat (N, 3K), or empty."""
+    a = np.asarray(kps, np.float64)
+    if n == 0 or a.size == 0:
+        return np.zeros((n, 0, 3))
+    if a.ndim == 2:  # flat COCO [x1, y1, v1, ...] rows
+        a = a.reshape(n, -1, 3)
+    if a.ndim != 3 or a.shape[0] != n or a.shape[2] != 3:
+        raise ValueError(f"keypoints shape {np.asarray(kps).shape} for "
+                         f"{n} instances")
+    return a
+
+
+def _kp_extent_area(kps: np.ndarray) -> np.ndarray:
+    """(N, K, 3) -> keypoint-extent area per instance — pycocotools
+    loadRes's dt area for keypoint results (x/y extent over ALL
+    keypoints)."""
+    if kps.shape[1] == 0:
+        return np.zeros(kps.shape[0])
+    x, y = kps[:, :, 0], kps[:, :, 1]
+    return (x.max(axis=1) - x.min(axis=1)) * (y.max(axis=1) - y.min(axis=1))
 
 
 def _oks(d_kps: np.ndarray, g_kps: np.ndarray, g_boxes_xyxy: np.ndarray,
@@ -204,8 +226,8 @@ class CocoEvaluator:
                 "boxes": boxes, "labels": labels,
                 "iscrowd": iscrowd, "areas": areas}
             if "keypoints" in g:
-                self.gts[img_id]["keypoints"] = np.asarray(
-                    g["keypoints"], np.float64)
+                self.gts[img_id]["keypoints"] = _as_kps(
+                    g["keypoints"], len(labels))
             elif iou_type == "keypoints":
                 raise ValueError(
                     f"iou_type='keypoints' but image {img_id} ground truth "
@@ -226,7 +248,8 @@ class CocoEvaluator:
                 "labels": np.asarray(r["labels"], np.int64).reshape(-1),
             }
             if "keypoints" in r:
-                det["keypoints"] = np.asarray(r["keypoints"], np.float64)
+                det["keypoints"] = _as_kps(r["keypoints"],
+                                           len(det["labels"]))
             elif self.iou_type == "keypoints":
                 raise ValueError("iou_type='keypoints' detections need a "
                                  "'keypoints' field")
@@ -330,7 +353,13 @@ class CocoEvaluator:
                 "num_gt": num_gt,
             }
 
-        d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1])
+        if self.iou_type == "keypoints":
+            # pycocotools loadRes derives dt area from the keypoint extent
+            # (keypoint results carry no bbox)
+            d_area = _kp_extent_area(d_kps)
+        else:
+            d_area = ((d_boxes[:, 2] - d_boxes[:, 0])
+                      * (d_boxes[:, 3] - d_boxes[:, 1]))
         d_oor = ((d_area[None, :] < area_lo[:, None])
                  | (d_area[None, :] > area_hi[:, None]))  # (A, D)
         d_oor_at = np.broadcast_to(d_oor[:, None, :], (a_n, t_n, d_n))

@@ -297,6 +297,16 @@ def _h_binop(op):
             if a.top != src or not np.all(np.asarray(a.shift) == 0.0):
                 raise NotImplementedError(
                     "L2 norm divides a different tensor than it normalizes")
+            if b.has_affine:
+                # e.g. RMS-norm's mean (1/C factor) riding the chain —
+                # Normalize would silently drop it
+                raise NotImplementedError(
+                    "scaled/shifted L2 norm (affine pending on the norm "
+                    "chain) has no Normalize-layer equivalent")
+            if len(a.shape) != 4 or a.layout != _NCHW:
+                raise NotImplementedError(
+                    "Normalize emission needs an NCHW feature map "
+                    f"(got shape {a.shape}, layout {a.layout})")
             c = a.shape[-1]
             scale = np.broadcast_to(
                 np.asarray(a.scale, np.float32).reshape(-1), (c,))
@@ -592,6 +602,9 @@ def _h_reduce_window_sum(cv: _Converter, eqn, ins):
     pad = p["padding"]
     if len(t.shape) != 4 or wd[0] != 1 or wd[3] != 1 or wd[1] != wd[2]:
         raise NotImplementedError(f"reduce_window_sum dims {wd}")
+    if st[1] != st[2] or pad[1] != pad[2]:
+        raise NotImplementedError(
+            f"anisotropic sum-pool stride/padding {st} / {pad}")
     t4 = cv.to_nchw(cv.flush(t))
     lo, hi = pad[1][0], pad[1][1]
     ceil = hi > lo

@@ -229,3 +229,22 @@ def test_generic_unsupported_primitive_message():
     with pytest.raises(NotImplementedError, match="no Caffe mapping"):
         trace_to_caffe(lambda x: jnp.sort(x, axis=-1),
                        jnp.zeros((1, 8, 8, 3)), name="bad")
+
+
+def test_generic_rejects_scaled_norm_and_2d_normalize():
+    """Review findings: a scaled norm chain (RMS-norm mean factor) or a 2D
+    embedding normalize must be REJECTED, not silently mis-exported."""
+    from demonet_tpu.export.tracing import trace_to_caffe
+
+    def rmsnorm(x):
+        return x / jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
+
+    with pytest.raises(NotImplementedError):
+        trace_to_caffe(rmsnorm, jnp.ones((1, 4, 4, 8)), name="rms")
+
+    def embed_norm(x):
+        e = jnp.mean(x, axis=(1, 2))
+        return e / jnp.sqrt(jnp.sum(jnp.square(e), axis=-1, keepdims=True))
+
+    with pytest.raises(NotImplementedError):
+        trace_to_caffe(embed_norm, jnp.ones((2, 4, 4, 8)), name="emb")

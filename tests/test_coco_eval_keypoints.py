@@ -136,3 +136,99 @@ def test_keypoints_requires_fields():
                       iou_type="keypoints")
     with pytest.raises(ValueError):
         CocoEvaluator([], iou_type="segm")
+
+
+def test_keypoint_eval_empty_annotation_image():
+    """An image with zero annotations (empty keypoints) plus a detection on
+    it must evaluate, not crash (review finding: IndexError pre-fix)."""
+    gts = [_gt(1, [(50.0, 50.0)]),
+           {"image_id": 2, "boxes": np.zeros((0, 4)),
+            "labels": np.zeros(0, np.int64), "areas": np.zeros(0),
+            "keypoints": []}]
+    ev = CocoEvaluator(gts, iou_type="keypoints")
+    ev.update([{
+        "image_id": 1, "boxes": gts[0]["boxes"],
+        "scores": np.asarray([0.9]), "labels": np.asarray([1]),
+        "keypoints": gts[0]["keypoints"]}])
+    # spurious detection on the empty image, scored ABOVE the true positive
+    # (a lower-scored trailing FP would not dent COCO AP: the precision
+    # envelope at full recall ignores it)
+    ev.update([{
+        "image_id": 2, "boxes": np.asarray([[10.0, 10.0, 40.0, 40.0]]),
+        "scores": np.asarray([0.95]), "labels": np.asarray([1]),
+        "keypoints": np.stack([_person((25.0, 25.0))])}])
+    ev.accumulate()
+    stats = ev.summarize()
+    assert 0.0 < stats["AP"] < 1.0  # the leading FP costs precision
+
+
+def test_keypoint_flat_coco_rows_accepted():
+    """COCO-flat (N, 3K) keypoints normalize to (N, K, 3)."""
+    flat = _person((50.0, 50.0)).reshape(1, -1)  # (1, 51)
+    gts = [{"image_id": 1,
+            "boxes": np.asarray([[20.0, 20.0, 80.0, 80.0]]),
+            "labels": np.ones(1, np.int64), "areas": np.asarray([3600.0]),
+            "keypoints": flat}]
+    ev = CocoEvaluator(gts, iou_type="keypoints")
+    ev.update([{
+        "image_id": 1, "boxes": gts[0]["boxes"],
+        "scores": np.asarray([0.9]), "labels": np.asarray([1]),
+        "keypoints": flat}])
+    ev.accumulate()
+    assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
+def test_keypoint_dt_area_from_extent():
+    """Detection area for range filtering comes from the keypoint extent
+    (pycocotools loadRes), not any supplied box: a detection with a huge
+    box but a medium keypoint spread counts in the 'medium' range."""
+    kp = np.zeros((1, 17, 3))
+    kp[0, :, 2] = 2.0
+    kp[0, :, 0] = np.linspace(100.0, 150.0, 17)   # 50 x 50 extent: medium
+    kp[0, :, 1] = np.linspace(100.0, 150.0, 17)
+    gts = [{"image_id": 1,
+            "boxes": np.asarray([[100.0, 100.0, 150.0, 150.0]]),
+            "labels": np.ones(1, np.int64),
+            "areas": np.asarray([2500.0]),        # medium gt
+            "keypoints": kp}]
+    ev = CocoEvaluator(gts, iou_type="keypoints")
+    ev.update([{
+        "image_id": 1,
+        "boxes": np.asarray([[0.0, 0.0, 500.0, 500.0]]),  # huge box
+        "scores": np.asarray([0.9]), "labels": np.asarray([1]),
+        "keypoints": kp}])
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["APm"] == pytest.approx(1.0)      # matched in medium range
+
+
+def test_get_coco_kp_ground_truth_feeds_evaluator(tmp_path):
+    """ground_truth_for_eval of a keypoints dataset carries the keypoints
+    field the evaluator requires (review finding: missing pre-fix)."""
+    import json
+
+    from demonet_tpu.data.coco import CocoDetection
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg",
+                    "height": 100, "width": 100}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 1,
+            "bbox": [10, 10, 40, 40], "area": 1600.0, "iscrowd": 0,
+            "keypoints": [30.0, 30.0, 2.0] * 17, "num_keypoints": 17}],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    ds = CocoDetection(str(img_dir), str(ann_file), return_keypoints=True)
+    gts = ds.ground_truth_for_eval()
+    assert gts[0]["keypoints"].shape == (1, 17, 3)
+    ev = CocoEvaluator(gts, iou_type="keypoints")
+    ev.update([{
+        "image_id": 1, "boxes": gts[0]["boxes"],
+        "scores": np.asarray([0.9]), "labels": np.asarray([1]),
+        "keypoints": gts[0]["keypoints"]}])
+    ev.accumulate()
+    assert ev.summarize()["AP"] == pytest.approx(1.0)
