@@ -193,6 +193,14 @@ class CocoDetection:
                                      for a in anns], np.float64),
             }
             if self.return_keypoints:
+                # pycocotools computeOks expands the RAW annotation bbox
+                # (unclipped) for zero-visible-keypoint gts — carry it
+                # separately from the clipped eval boxes
+                raw = np.asarray(
+                    [a["bbox"] for a in anns], np.float64).reshape(-1, 4)
+                if len(raw):
+                    raw[:, 2:] += raw[:, :2]
+                entry["boxes_unclipped"] = raw
                 # COCO-flat rows -> (N, K, 3) for
                 # CocoEvaluator(iou_type='keypoints')
                 kps = [np.asarray(a.get("keypoints", []),

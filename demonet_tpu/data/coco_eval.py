@@ -225,6 +225,11 @@ class CocoEvaluator:
             self.gts[img_id] = {
                 "boxes": boxes, "labels": labels,
                 "iscrowd": iscrowd, "areas": areas}
+            if "boxes_unclipped" in g:
+                # raw annotation bbox (pre image-bounds clip) — the box
+                # computeOks expands for zero-visible-keypoint gts
+                self.gts[img_id]["boxes_unclipped"] = np.asarray(
+                    g["boxes_unclipped"], np.float64).reshape(-1, 4)
             if "keypoints" in g:
                 self.gts[img_id]["keypoints"] = _as_kps(
                     g["keypoints"], len(labels))
@@ -375,7 +380,10 @@ class CocoEvaluator:
             }
 
         if self.iou_type == "keypoints":
-            ious = _oks(d_kps, g_kps, g_boxes, g_area, self.kpt_sigmas)
+            g_oks_boxes = gt_all.get("boxes_unclipped")
+            g_oks_boxes = (g_oks_boxes[gm] if g_oks_boxes is not None
+                           else g_boxes)
+            ious = _oks(d_kps, g_kps, g_oks_boxes, g_area, self.kpt_sigmas)
         else:
             ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
 

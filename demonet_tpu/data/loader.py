@@ -68,10 +68,21 @@ def _load_one(dataset, ds_idx: int, image_size: Tuple[int, int],
     h, w = img.shape[:2]
     nh, nw = image_size
     if (h, w) != (nh, nw):
+        from demonet_tpu.data.transforms import (
+            _resize_masks, _scale_keypoints)
+
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        updates = {}
         if len(target.get("boxes", ())):
-            target = dict(target, boxes=target["boxes"] * np.asarray(
-                [nw / w, nh / h, nw / w, nh / h], np.float32))
+            updates["boxes"] = target["boxes"] * np.asarray(
+                [nw / w, nh / h, nw / w, nh / h], np.float32)
+        if len(target.get("masks", ())):
+            updates["masks"] = _resize_masks(target["masks"], nh, nw)
+        if len(target.get("keypoints", ())):
+            updates["keypoints"] = _scale_keypoints(
+                target["keypoints"], nw / w, nh / h)
+        if updates:
+            target = dict(target, **updates)
     if img.dtype != np.float32:
         # single-pass uint8 -> [0,1] float32 (no intermediate float copy)
         img = np.multiply(img, np.float32(1.0 / 255.0), dtype=np.float32)
@@ -81,11 +92,18 @@ def _load_one(dataset, ds_idx: int, image_size: Tuple[int, int],
 def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
                     image_size: Tuple[int, int], max_gt: int, seed: int,
                     epoch: int, rng_aware: bool,
-                    images_out: Optional[np.ndarray] = None
+                    images_out: Optional[np.ndarray] = None,
+                    max_kp: int = 0, with_masks: bool = False
                     ) -> Dict[str, np.ndarray]:
     """Assemble one fixed-shape batch. If images_out is given (a shared-
     memory slab slot), images are written there and omitted from the
-    returned dict."""
+    returned dict.
+
+    max_kp > 0 adds "gt_keypoints" (B, G, max_kp, 3); with_masks adds
+    "gt_masks" (B, G, H, W) uint8 — padded instance targets carried
+    through collation (reference util/misc.py:235 keeps whole target
+    dicts; here ragged targets become fixed-shape padded arrays).
+    """
     b, g = batch_size, max_gt
     nh, nw = image_size
     images = images_out if images_out is not None \
@@ -100,6 +118,10 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
         "original_sizes": np.zeros((b, 2), np.int32),
         "batch_valid": np.zeros((b,), bool),
     }
+    if max_kp > 0:
+        out["gt_keypoints"] = np.zeros((b, g, max_kp, 3), np.float32)
+    if with_masks:
+        out["gt_masks"] = np.zeros((b, g, nh, nw), np.uint8)
     for i, ds_idx in enumerate(ds_indices):
         rng = _sample_rng(seed, epoch, int(ds_idx))
         img, target, (h, w) = _load_one(
@@ -112,6 +134,19 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
             out["gt_boxes"][i, :k] = boxes[:k]
             out["gt_labels"][i, :k] = labels[:k]
             out["gt_valid"][i, :k] = True
+            if max_kp > 0:
+                kps = np.asarray(target.get("keypoints",
+                                            np.zeros((0, 0, 3), np.float32)))
+                if kps.size:
+                    kk = min(kps.shape[1], max_kp)
+                    out["gt_keypoints"][i, :min(len(kps), k), :kk] = \
+                        kps[:k, :kk]
+            if with_masks:
+                masks = np.asarray(target.get("masks",
+                                              np.zeros((0, nh, nw), np.uint8)))
+                if masks.size:
+                    out["gt_masks"][i, :min(len(masks), k)] = \
+                        masks[:k].astype(np.uint8)
         out["image_ids"][i] = target.get("image_id", int(ds_idx))
         out["original_sizes"][i] = (h, w)
         out["batch_valid"][i] = True
@@ -121,7 +156,8 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
 
 
 def _worker_main(dataset, batch_size, image_size, max_gt, seed, rng_aware,
-                 shm_name, n_slots, task_q, result_q):
+                 shm_name, n_slots, task_q, result_q,
+                 max_kp=0, with_masks=False):
     """Process-pool worker: assembles batches into shared-memory slots."""
     shm = shared_memory.SharedMemory(name=shm_name)
     try:
@@ -136,7 +172,8 @@ def _worker_main(dataset, batch_size, image_size, max_gt, seed, rng_aware,
             try:
                 meta = _assemble_batch(
                     dataset, indices, batch_size, image_size, max_gt, seed,
-                    epoch, rng_aware, images_out=slab[slot])
+                    epoch, rng_aware, images_out=slab[slot],
+                    max_kp=max_kp, with_masks=with_masks)
                 result_q.put((seq, slot, meta, None))
             except BaseException as e:  # surface worker errors to the main loop
                 result_q.put((seq, slot, None, repr(e)))
@@ -164,8 +201,14 @@ class DetectionLoader:
         native_threads: int = 4,
         batch_sampler=None,
         num_workers: int = 0,
+        max_kp: int = 0,
+        with_masks: bool = False,
     ):
         self.dataset = dataset
+        # opt-in padded instance targets: gt_keypoints (B, G, max_kp, 3)
+        # and gt_masks (B, G, H, W) — see _assemble_batch
+        self.max_kp = max_kp
+        self.with_masks = with_masks
         self.batch_size = batch_size
         self.image_size = image_size
         self.shuffle = shuffle
@@ -190,6 +233,10 @@ class DetectionLoader:
         if native_decode:
             from demonet_tpu.data import native
 
+            if max_kp or with_masks:
+                raise ValueError(
+                    "native_decode path batches boxes/labels only; "
+                    "max_kp/with_masks need the Python assembly path")
             if num_workers > 0:
                 raise ValueError(
                     "native_decode already parallelizes in C++ threads; "
@@ -245,7 +292,8 @@ class DetectionLoader:
             return self._assemble_native(ds_indices)
         return _assemble_batch(
             self.dataset, ds_indices, self.batch_size, self.image_size,
-            self.max_gt, self.seed, self.epoch, self._rng_aware)
+            self.max_gt, self.seed, self.epoch, self._rng_aware,
+            max_kp=self.max_kp, with_masks=self.with_masks)
 
     def _assemble_native(self, ds_indices: np.ndarray) -> Dict[str, np.ndarray]:
         """Batch decode+resize in C++ (one call), targets from metadata."""
@@ -361,7 +409,8 @@ class DetectionLoader:
                 target=_worker_main,
                 args=(self.dataset, self.batch_size, self.image_size,
                       self.max_gt, self.seed, self._rng_aware, shm.name,
-                      n_slots, task_q, result_q),
+                      n_slots, task_q, result_q, self.max_kp,
+                      self.with_masks),
                 daemon=True)
             for _ in range(self.num_workers)]
         for w in workers:

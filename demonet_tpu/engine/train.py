@@ -106,25 +106,51 @@ def train_one_epoch(
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
 
-    for batch in logger.log_every(data_loader, print_freq, header):
+    # Deferred metric readback: `float(metrics["loss"])` every step blocks
+    # the host on the device and serializes dispatch (the reference's
+    # per-step finite check, engine.py:41-44, is free on GPU+CUDA streams
+    # but forfeits async pipelining on TPU). We keep the device arrays and
+    # materialize them every `print_freq` steps — by then the transfers
+    # are long complete, so the drain is ~free and dispatch stays ahead.
+    # Abort semantics are preserved: a non-finite loss still exits with
+    # that exact step's metrics, at most print_freq-1 steps later.
+    step0 = int(state.step)  # one host sync before the loop
+    pending = []  # [(step_number, device_metrics)]
+
+    def _drain():
+        if not pending:
+            return
+        steps = [s for s, _ in pending]
+        # one device call + one transfer for the whole window
+        if lr_schedule is not None:
+            lrs = jax.device_get(lr_schedule(jnp.asarray(steps)))
+            lrs = [float(v) for v in jnp.reshape(lrs, (-1,))]
+        else:
+            lrs = [0.0] * len(steps)
+        fetched = jax.device_get([m for _, m in pending])
+        pending.clear()
+        for step_no, lr, m in zip(steps, lrs, fetched):
+            scalars = {k: float(v) for k, v in m.items()}
+            loss_value = scalars["loss"]
+            if not math.isfinite(loss_value):
+                print(f"Loss is {loss_value}, stopping training")
+                print(scalars)
+                sys.exit(1)
+            logger.update(lr=lr, **scalars)
+            if metrics_writer is not None:
+                metrics_writer.write(step_no, dict(scalars, lr=lr))
+
+    for batch in logger.log_every(data_loader, print_freq, header,
+                                  pre_print=_drain):
         if mesh is not None:
             from demonet_tpu.parallel.mesh import shard_batch
 
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
+        step0 += 1
+        pending.append((step0, metrics))
 
-        loss_value = float(metrics["loss"])
-        if not math.isfinite(loss_value):
-            print(f"Loss is {loss_value}, stopping training")
-            print({k: float(v) for k, v in metrics.items()})
-            sys.exit(1)
-
-        lr = float(lr_schedule(state.step)) if lr_schedule is not None else 0.0
-        scalars = {k: float(v) for k, v in metrics.items()}
-        logger.update(lr=lr, **scalars)
-        if metrics_writer is not None:
-            metrics_writer.write(int(state.step), dict(scalars, lr=lr))
-
+    _drain()
     if metrics_writer is not None:
         metrics_writer.flush()
     return state

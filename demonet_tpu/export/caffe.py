@@ -158,6 +158,12 @@ class CaffeNet:
         self.layers.append(Layer(name, "ReLU", [bottom], [bottom], {}))
         return bottom
 
+    def relu_out(self, name: str, bottom: str) -> str:
+        """ReLU with a distinct top (non-in-place) for graphs where the
+        pre-activation blob may have other consumers (fan-out)."""
+        self.layers.append(Layer(name, "ReLU", [bottom], [name], {}))
+        return name
+
     def relu6(self, name: str, bottom: str) -> str:
         # Emitted as a literal `ReLU6` layer type, exactly like the
         # reference converter (model_converter.py:651-655) — nonstandard
@@ -319,7 +325,8 @@ def _layer_prototxt(layer: Layer) -> str:
         lines.append(f"  inner_product_param {{ num_output: "
                      f"{p['num_output']} }}")
     elif layer.type == "Eltwise":
-        lines.append("  eltwise_param { operation: SUM }")
+        op_name = {0: "PROD", 1: "SUM", 2: "MAX"}[p.get("operation", 1)]
+        lines.append(f"  eltwise_param {{ operation: {op_name} }}")
     elif layer.type == "Concat":
         lines.append(f"  concat_param {{ axis: {p.get('axis', 1)} }}")
     elif layer.type == "Softmax":
@@ -401,7 +408,8 @@ def _layer_binary(layer: Layer) -> bytes:
     elif layer.type == "InnerProduct":
         out += _message(117, _uint(1, p["num_output"]))
     elif layer.type == "Eltwise":
-        out += _message(110, _uint(1, 1))  # SUM
+        # EltwiseOp enum: PROD = 0, SUM = 1, MAX = 2
+        out += _message(110, _uint(1, p.get("operation", 1)))
     elif layer.type == "Concat":
         out += _message(104, _uint(2, p.get("axis", 1)))
     elif layer.type == "Softmax":

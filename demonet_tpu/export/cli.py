@@ -35,6 +35,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                         "(export/tracing.py) instead of the hand-built "
                         "family graph — works for any conv model built "
                         "from supported primitives")
+    p.add_argument("--verify", action="store_true",
+                   help="with --format caffe --generic: execute the emitted "
+                        "IR (export/caffe_eval.py) on a random input and "
+                        "assert numeric parity with the flax forward before "
+                        "writing artifacts (CPU numpy; slow at full size)")
     p.add_argument("--output", default="model.stablehlo.bin")
     p.add_argument("--mlir", default="", help="also dump StableHLO text here")
     p.add_argument("--platforms", default="tpu",
@@ -104,6 +109,21 @@ def main(args) -> None:
                 raw = lambda x: detector.apply(variables, x, train=False)
             net = trace_to_caffe(
                 raw, jnp.zeros((1, h, w, 3), jnp.float32), name=args.model)
+            if args.verify:
+                import numpy as np
+
+                from demonet_tpu.export.caffe_eval import run_caffenet
+
+                x = (np.random.default_rng(0)
+                     .random((1, h, w, 3), np.float32) * 2.0 - 0.5)
+                want = raw(jnp.asarray(x))
+                want = want if isinstance(want, tuple) else (want,)
+                blobs = run_caffenet(net, {"data": np.transpose(x, (0, 3, 1, 2))})
+                for top, ref in zip(net.output_tops, want):
+                    np.testing.assert_allclose(
+                        blobs[top], np.asarray(ref), rtol=5e-3, atol=1e-4)
+                print("generic conversion verified numerically vs flax "
+                      f"forward ({len(net.output_tops)} outputs)")
             with open(f"{prefix}.prototxt", "w") as f:
                 f.write(net.to_prototxt())
             with open(f"{prefix}.caffemodel", "wb") as f:

@@ -117,6 +117,13 @@ class _Converter:
             top = self.net.power(self.name("affine"), t.top,
                                  scale=float(t.scale), shift=float(t.shift))
         else:
+            # Caffe's Scale defaults to axis 1: only valid when caffe dim 1
+            # holds the jax channel (last) axis, e.g. NHWC->NCHW layouts.
+            if len(t.layout) < 2 or t.layout[1] != len(t.shape) - 1:
+                raise NotImplementedError(
+                    "per-channel affine pending on a tensor whose caffe "
+                    f"dim 1 is jax axis {t.layout[1] if len(t.layout) > 1 else None}, "
+                    "not the channel axis — an axis-1 Scale would be wrong")
             c = t.shape[-1]
             s = np.broadcast_to(np.asarray(t.scale, np.float32).reshape(-1), (c,))
             b = np.broadcast_to(np.asarray(t.shift, np.float32).reshape(-1), (c,))
@@ -401,9 +408,11 @@ def _h_max(cv: _Converter, eqn, ins):
     if np.asarray(c).size != 1 or float(np.asarray(c).reshape(())) != 0.0:
         raise NotImplementedError("max against non-zero constant")
     t = cv.flush(t)
-    cv.net.relu(cv.name("relu") + "_relu", t.top)
+    # non-in-place ReLU: the pre-activation jaxpr var may have other
+    # consumers still mapped to t.top, which an in-place ReLU would corrupt
+    top = cv.net.relu_out(cv.name("relu") + "_relu", t.top)
     cv.write(eqn.outvars[0], _Tensor(
-        t.top, tuple(eqn.outvars[0].aval.shape), t.layout,
+        top, tuple(eqn.outvars[0].aval.shape), t.layout,
         relu_layer=len(cv.net.layers) - 1))
 
 

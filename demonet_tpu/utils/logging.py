@@ -113,7 +113,14 @@ class MetricLogger:
         self.meters[name] = meter
 
     def log_every(self, iterable: Iterable, print_freq: int,
-                  header: str = ""):
+                  header: str = "", pre_print=None):
+        """Yield items, printing smoothed meters every print_freq.
+
+        pre_print: optional zero-arg callable invoked right before each
+        print (and before the final summary) — the train loop uses it to
+        drain asynchronously-dispatched device metrics into the meters so
+        printed values are current without per-step host syncs.
+        """
         i = 0
         start_time = time.time()
         end = time.time()
@@ -134,6 +141,9 @@ class MetricLogger:
             data_time.update(time.time() - end)
             yield obj
             iter_time.update(time.time() - end)
+            if i % print_freq == 0 or (total and i == total - 1):
+                if pre_print is not None:
+                    pre_print()
             if main and (i % print_freq == 0 or (total and i == total - 1)):
                 if total:
                     eta_seconds = iter_time.global_avg * (total - i)

@@ -41,6 +41,21 @@ def _iter_fields(buf):
         yield field, wire, val
 
 
+def _parse_prototxt_eltwise(txt):
+    """Parse {name: operation} for every Eltwise layer in a deploy prototxt."""
+    import re
+
+    out = {}
+    for block in re.findall(r"layer \{(.*?)\n\}", txt, re.S):
+        if 'type: "Eltwise"' not in block:
+            continue
+        name = re.search(r'name: "([^"]+)"', block).group(1)
+        m = re.search(r"eltwise_param \{ operation: (\w+) \}", block)
+        # Caffe's EltwiseParameter defaults to SUM when omitted
+        out[name] = m.group(1) if m else "SUM"
+    return out
+
+
 def _parse_layer(buf):
     layer = {"bottoms": [], "tops": [], "blobs": []}
     for field, wire, val in _iter_fields(buf):
@@ -48,6 +63,10 @@ def _parse_layer(buf):
             layer["name"] = val.decode()
         elif field == 2:
             layer["type"] = val.decode()
+        elif field == 110:  # eltwise_param
+            for f2, _w2, v2 in _iter_fields(val):
+                if f2 == 1:
+                    layer["eltwise_op"] = v2
         elif field == 3:
             layer["bottoms"].append(val.decode())
         elif field == 4:
@@ -165,9 +184,23 @@ def test_ssdlite_mnv3_caffe_export(tmp_path):
                        num_classes=5, input_size=96)
     txt = (tmp_path / "m.prototxt").read_text()
     assert txt.count('"Permute"') == 12
-    # hard-swish decomposition present (Power/Eltwise PROD chains)
-    assert '"Power"' in txt and "operation: PROD" not in txt  # PROD is binary-only param
+    # hard-swish decomposition present (Power/Eltwise PROD chains);
+    # the x * hard_sigmoid(x) products must serialize as PROD, not SUM
+    assert '"Power"' in txt
     assert 'type: "Eltwise"' in txt
+    n_prod_ir = sum(1 for l in net.layers
+                    if l.type == "Eltwise" and l.params.get("operation", 1) == 0)
+    n_sum_ir = sum(1 for l in net.layers
+                   if l.type == "Eltwise" and l.params.get("operation", 1) == 1)
+    assert n_prod_ir > 0  # hswish products exist in this family
+    assert txt.count("operation: PROD") == n_prod_ir
+    assert txt.count("operation: SUM") == n_sum_ir
+    # round-trip: re-parse the serialized prototxt (not the in-memory IR)
+    # and check each Eltwise layer's operation against the IR
+    reparsed = _parse_prototxt_eltwise(txt)
+    ir_ops = {l.name: {0: "PROD", 1: "SUM", 2: "MAX"}[l.params.get("operation", 1)]
+              for l in net.layers if l.type == "Eltwise"}
+    assert reparsed == ir_ops
     # SE: two-bottom Scale with axis 0
     assert "scale_param { axis: 0 }" in txt
     # binary decodes layer-for-layer
@@ -177,6 +210,12 @@ def test_ssdlite_mnv3_caffe_export(tmp_path):
         if field == 100:
             layers.append(_parse_layer(val))
     assert len(layers) == len(net.layers)
+    # binary eltwise_param operation matches the IR (PROD=0 / SUM=1)
+    bin_ops = {l["name"]: l.get("eltwise_op", 1)
+               for l in layers if l.get("type") == "Eltwise"}
+    assert bin_ops == {l.name: l.params.get("operation", 1)
+                       for l in net.layers if l.type == "Eltwise"}
+    assert 0 in bin_ops.values() and 1 in bin_ops.values()
     by_name = {l["name"]: l for l in layers}
     # C4 tap: expand conv of the last strided block exists
     assert any(n.endswith("_expand") for n in by_name)

@@ -232,3 +232,72 @@ def test_get_coco_kp_ground_truth_feeds_evaluator(tmp_path):
         "keypoints": gts[0]["keypoints"]}])
     ev.accumulate()
     assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
+def test_oks_zero_visible_gt_uses_unclipped_bbox():
+    """pycocotools computeOks expands the RAW annotation bbox for
+    zero-visible-keypoint gts; gts clipped to image bounds must not change
+    the expanded-box fallback (advisor r2 finding re coco.py clip)."""
+    def make_ev(with_unclipped):
+        g = {
+            "image_id": 1,
+            "boxes": np.asarray([[0.0, 0.0, 60.0, 60.0]]),  # clipped
+            "labels": np.ones(1, np.int64),
+            "areas": np.asarray([10000.0]),
+            "keypoints": _person((0.0, 0.0), vis=0.0)[None],
+        }
+        if with_unclipped:
+            g["boxes_unclipped"] = np.asarray([[-40.0, -40.0, 60.0, 60.0]])
+        ev = CocoEvaluator([g], iou_type="keypoints")
+        ev.update([{
+            "image_id": 1,
+            "boxes": np.zeros((1, 4)),
+            "scores": np.asarray([0.9]),
+            "labels": np.ones(1, np.int64),
+            # dt inside the 2x-expanded UNCLIPPED box ([-140,160]^2) but
+            # far outside the 2x-expanded clipped box ([-60,120]^2)
+            "keypoints": _person((150.0, 150.0))[None],
+        }])
+        return ev
+
+    res_u = make_ev(True)._evaluate_cat_img(1, 1)
+    res_c = make_ev(False)._evaluate_cat_img(1, 1)
+    # zero-visible gt is an ignore region: with the unclipped box the dt
+    # lands inside it (OKS = 1 -> matched-to-ignore -> dt ignored); with
+    # only the clipped box the OKS collapses and the dt stays a candidate FP
+    # area-range 0 is "all": ignore there can only come from the gt match
+    # (other ranges also ignore via the dt's zero keypoint-extent area)
+    assert res_u["dt_ignore"][0].all()
+    assert not res_c["dt_ignore"][0].any()
+
+
+def test_get_coco_kp_carries_unclipped_boxes(tmp_path):
+    """CocoDetection.ground_truth_for_eval exposes boxes_unclipped when
+    keypoints are requested, with the raw (unclipped) annotation extent."""
+    import json
+
+    from PIL import Image
+
+    from demonet_tpu.data.coco import CocoDetection
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (100, 100)).save(img_dir / "a.jpg")
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg",
+                    "height": 100, "width": 100}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 1,
+            "bbox": [-40.0, -40.0, 100.0, 100.0],  # xywh, extends past edge
+            "area": 10000.0, "iscrowd": 0,
+            "keypoints": [0.0, 0.0, 0.0] * 17, "num_keypoints": 0,
+        }],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    ds = CocoDetection(str(img_dir), str(ann_file), return_keypoints=True)
+    gt = ds.ground_truth_for_eval()[0]
+    np.testing.assert_allclose(gt["boxes_unclipped"],
+                               [[-40.0, -40.0, 60.0, 60.0]])
+    np.testing.assert_allclose(gt["boxes"], [[0.0, 0.0, 60.0, 60.0]])

@@ -1,0 +1,339 @@
+"""Differential tests executing the REFERENCE's own runnable code as the
+oracle (VERDICT r2 directive 2).
+
+The reference's VOC evaluator is pure numpy+xml
+(/root/reference/demonet/data/voc_eval.py:1-166) and its box coder /
+matchers (/root/reference/demonet/models/_utils.py:81-362) need only torch
+(CPU, present here) plus a one-class torchvision stub — so instead of
+hand-derived golden values we run the reference directly on randomized
+inputs and assert identical outputs.
+
+Environment shims (test-harness only, documented divergences none):
+  * numpy>=1.24 removed the `np.bool` alias the 2020-era reference uses
+    (voc_eval.py:95) — restored for the exec.
+  * `torchvision.ops.misc.FrozenBatchNorm2d` stubbed (only referenced by
+    `overwrite_eps`, which these tests do not exercise).
+
+Known intentional divergences, avoided in the generators rather than
+papered over in the asserts:
+  * score ties: reference sorts detections with unstable argsort
+    (voc_eval.py:112), ours stable — generators use unique scores.
+  * SSDMatcher force-assign when two gts share one best anchor: reference
+    last-write-wins (_utils.py:357-360), ours unspecified scatter order —
+    collision cases are compared set-wise below (test_ssd_matcher_*).
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/demonet"
+
+
+def _load_ref(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_voc():
+    if not hasattr(np, "bool"):
+        np.bool = bool  # shim for the removed alias (see module docstring)
+    return _load_ref(f"{REF}/data/voc_eval.py", "ref_voc_eval")
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        misc = types.ModuleType("torchvision.ops.misc")
+
+        class FrozenBatchNorm2d(torch.nn.Module):
+            pass
+
+        misc.FrozenBatchNorm2d = FrozenBatchNorm2d
+        tv.ops = ops
+        ops.misc = misc
+        sys.modules.update({"torchvision": tv, "torchvision.ops": ops,
+                            "torchvision.ops.misc": misc})
+    return _load_ref(f"{REF}/models/_utils.py", "ref_utils")
+
+
+# ---------------------------------------------------------------------------
+# VOC evaluator: reference file-based protocol vs our array-based one
+# ---------------------------------------------------------------------------
+
+CLASSES = ["aeroplane", "cat", "dog"]
+
+
+def _gen_voc_scene(rng, n_images=14):
+    """Random gt + detections: detections are jittered copies of gts (TPs
+    at various IoUs), duplicates (double-detection FPs) and random boxes
+    (pure FPs), with unique scores."""
+    images = [f"im{i:04d}" for i in range(n_images)]
+    annotations = {}
+    for name in images:
+        objs = []
+        for _ in range(rng.integers(0, 6)):
+            x1, y1 = rng.integers(0, 200, 2)
+            w, h = rng.integers(20, 120, 2)
+            objs.append({
+                "name": CLASSES[rng.integers(0, len(CLASSES))],
+                "bbox": [int(x1), int(y1), int(x1 + w), int(y1 + h)],
+                "difficult": int(rng.random() < 0.25),
+            })
+        annotations[name] = objs
+    # ensure every class has a non-difficult gt (reference divides by npos)
+    for k, cls in enumerate(CLASSES):
+        annotations[images[k]].append(
+            {"name": cls, "bbox": [10, 10, 90, 90], "difficult": 0})
+
+    dets = {c: [] for c in CLASSES}
+    for idx, name in enumerate(images):
+        for o in annotations[name]:
+            for _ in range(rng.integers(0, 3)):  # 0-2 dets per gt
+                jitter = rng.normal(0, 8, 4)
+                bb = np.asarray(o["bbox"], float) + jitter
+                dets[o["name"]].append([idx, 0.0, *bb])
+        for _ in range(rng.integers(0, 3)):  # random FPs, random class
+            x1, y1 = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(10, 100, 2)
+            dets[CLASSES[rng.integers(0, len(CLASSES))]].append(
+                [idx, 0.0, x1, y1, x1 + w, y1 + h])
+    for c in CLASSES:
+        if not dets[c]:
+            dets[c].append([0, 0.0, 5.0, 5.0, 50.0, 50.0])
+        arr = np.asarray(dets[c], float)
+        arr[:, 1] = rng.permutation(len(arr)) / len(arr) + 1e-4  # unique
+        dets[c] = arr
+    return images, annotations, dets
+
+
+def _write_voc_files(tmp_path, images, annotations, dets):
+    ann_dir = tmp_path / "Annotations"
+    ann_dir.mkdir()
+    for name in images:
+        objs = "".join(
+            "<object><name>{}</name><difficult>{}</difficult>"
+            "<bndbox><xmin>{}</xmin><ymin>{}</ymin>"
+            "<xmax>{}</xmax><ymax>{}</ymax></bndbox></object>".format(
+                o["name"], o["difficult"], *o["bbox"])
+            for o in annotations[name])
+        (ann_dir / f"{name}.xml").write_text(
+            f"<annotation>{objs}</annotation>")
+    (tmp_path / "imageset.txt").write_text(
+        "".join(n + "\n" for n in images))
+    for c, arr in dets.items():
+        lines = [f"{images[int(r[0])]} {r[1]:.8f} "
+                 f"{r[2]:.6f} {r[3]:.6f} {r[4]:.6f} {r[5]:.6f}\n"
+                 for r in arr]
+        (tmp_path / f"det_{c}.txt").write_text("".join(lines))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("use_07", [False, True])
+def test_voc_eval_matches_reference(tmp_path, ref_voc, seed, use_07):
+    from demonet_tpu.data.voc_eval import voc_eval
+
+    rng = np.random.default_rng(seed)
+    images, annotations, dets = _gen_voc_scene(rng)
+    _write_voc_files(tmp_path, images, annotations, dets)
+
+    for c in CLASSES:
+        ref_rec, ref_prec, ref_ap = ref_voc.voc_eval(
+            str(tmp_path / "det_{}.txt"),
+            str(tmp_path / "Annotations") + "/{}.xml",
+            str(tmp_path / "imageset.txt"),
+            c, ovthresh=0.5, use_07_metric=use_07)
+        got_rec, got_prec, got_ap = voc_eval(
+            dets[c], images, annotations, c,
+            ovthresh=0.5, use_07_metric=use_07)
+        np.testing.assert_allclose(got_rec, ref_rec, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got_prec, ref_prec, rtol=0, atol=1e-12)
+        assert got_ap == pytest.approx(float(ref_ap), abs=1e-12)
+
+
+def test_voc_ap_matches_reference_on_random_curves(ref_voc):
+    from demonet_tpu.data.voc_eval import voc_ap
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        rec = np.sort(rng.random(n))
+        prec = rng.random(n)
+        for use_07 in (False, True):
+            assert voc_ap(rec, prec, use_07) == pytest.approx(
+                float(ref_voc.voc_ap(rec.copy(), prec.copy(), use_07)),
+                abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# BoxCoder encode/decode: reference torch vs our jnp
+# ---------------------------------------------------------------------------
+
+
+def _rand_boxes(rng, n, scale=300.0):
+    # float32 on both sides: torch f64 vs jnp f32 (jax x64 disabled) would
+    # otherwise differ at the 1e-4 level through exp/log
+    xy = rng.random((n, 2)) * scale
+    wh = rng.random((n, 2)) * (scale / 3) + 1.0
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_box_coder_encode_matches_reference(ref_utils, seed):
+    from demonet_tpu.ops.boxes import encode_boxes
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 500))
+    weights = (10.0, 10.0, 5.0, 5.0)
+    gt = _rand_boxes(rng, n)
+    anchors = _rand_boxes(rng, n)
+
+    coder = ref_utils.BoxCoder(weights=weights)
+    ref = coder.encode_single(
+        torch.from_numpy(gt), torch.from_numpy(anchors)).numpy()
+    got = np.asarray(encode_boxes(gt, anchors, weights=weights))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_box_coder_decode_matches_reference(ref_utils, seed):
+    from demonet_tpu.ops.boxes import decode_boxes
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 500))
+    weights = (10.0, 10.0, 5.0, 5.0)
+    anchors = _rand_boxes(rng, n)
+    # deltas spanning the exp clamp (bbox_xform_clip = log(1000/16))
+    deltas = rng.normal(0, 3.0, (n, 4)).astype(np.float32)
+    deltas[:: max(n // 5, 1), 2:] = 30.0  # force the clamp branch
+
+    coder = ref_utils.BoxCoder(weights=weights)
+    ref = coder.decode_single(
+        torch.from_numpy(deltas), torch.from_numpy(anchors)).numpy()
+    got = np.asarray(decode_boxes(deltas, anchors, weights=weights))
+    np.testing.assert_allclose(got, ref.reshape(got.shape),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_box_coder_roundtrip_matches_reference(ref_utils):
+    """encode -> decode recovers the gt identically in both stacks."""
+    from demonet_tpu.ops.boxes import decode_boxes, encode_boxes
+
+    rng = np.random.default_rng(42)
+    gt = _rand_boxes(rng, 200)
+    anchors = _rand_boxes(rng, 200)
+    got = np.asarray(decode_boxes(
+        np.asarray(encode_boxes(gt, anchors)), anchors))
+    np.testing.assert_allclose(got, gt, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Matcher / SSDMatcher: reference torch vs our jnp
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+@pytest.mark.parametrize("allow_low", [False, True])
+def test_matcher_matches_reference(ref_utils, seed, allow_low):
+    from demonet_tpu.models.matcher import match
+
+    rng = np.random.default_rng(seed)
+    g = int(rng.integers(1, 12))
+    a = int(rng.integers(8, 600))
+    quality = rng.random((g, a))  # continuous: no ties
+
+    ref_m = ref_utils.Matcher(0.5, 0.4, allow_low_quality_matches=allow_low)
+    ref = ref_m(torch.from_numpy(quality)).numpy()
+    got = np.asarray(match(quality, 0.5, 0.4,
+                           allow_low_quality_matches=allow_low))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_matcher_matches_reference_from_iou(ref_utils, seed):
+    """Same but with a real IoU matrix (many exact zeros = ties on
+    non-overlapping pairs; thresholds keep those anchors background in
+    both, so the comparison stays exact)."""
+    from demonet_tpu.models.matcher import match
+    from demonet_tpu.ops.boxes import box_iou
+
+    rng = np.random.default_rng(200 + seed)
+    g = int(rng.integers(1, 10))
+    gt = _rand_boxes(rng, g)
+    anchors = _rand_boxes(rng, int(rng.integers(50, 400)))
+    iou = np.asarray(box_iou(gt, anchors)[0], np.float32)
+
+    ref_m = ref_utils.Matcher(0.5, 0.4, allow_low_quality_matches=True)
+    ref = ref_m(torch.from_numpy(iou)).numpy()
+    got = np.asarray(match(iou, 0.5, 0.4, allow_low_quality_matches=True))
+    # all-zero columns (anchor overlaps no gt): argmax tie -> both give -1
+    # after thresholding, so exact equality is expected
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_ssd_matcher_matches_reference(ref_utils, seed):
+    from demonet_tpu.models.matcher import ssd_match
+    from demonet_tpu.ops.boxes import box_iou
+
+    rng = np.random.default_rng(300 + seed)
+    g = int(rng.integers(1, 10))
+    gt = _rand_boxes(rng, g)
+    anchors = _rand_boxes(rng, int(rng.integers(50, 400)))
+    iou = np.asarray(box_iou(gt, anchors)[0], np.float32)
+
+    ref_m = ref_utils.SSDMatcher(0.5)
+    ref = ref_m(torch.from_numpy(iou)).numpy()
+    got = np.asarray(ssd_match(iou, 0.5))
+
+    best_anchor = iou.argmax(axis=1)
+    collide = np.zeros(iou.shape[1], bool)
+    uniq, counts = np.unique(best_anchor, return_counts=True)
+    collide[uniq[counts > 1]] = True
+    # non-colliding anchors: exact equality with the reference
+    np.testing.assert_array_equal(got[~collide], ref[~collide])
+    # colliding force-assignments (reference last-write-wins vs our
+    # unspecified scatter): both must pick SOME gt whose best anchor it is
+    for anch in uniq[counts > 1]:
+        claimants = set(np.where(best_anchor == anch)[0])
+        assert got[anch] in claimants and ref[anch] in claimants
+
+
+def test_ssd_matcher_force_assign_below_threshold(ref_utils):
+    """A gt whose best IoU is under the threshold still claims its best
+    anchor in both implementations (_utils.py:357-360)."""
+    from demonet_tpu.models.matcher import ssd_match
+
+    iou = np.asarray([[0.3, 0.1, 0.05]])  # best anchor 0, below 0.5
+    ref = ref_utils.SSDMatcher(0.5)(torch.from_numpy(iou)).numpy()
+    got = np.asarray(ssd_match(iou, 0.5))
+    np.testing.assert_array_equal(got, ref)
+    assert got[0] == 0 and got[1] == -1 and got[2] == -1
+
+
+# ---------------------------------------------------------------------------
+# encode_boxes free function (reference _utils.py:81-126 batch form)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_boxes_free_function_matches_reference(ref_utils):
+    from demonet_tpu.ops.boxes import encode_boxes
+
+    rng = np.random.default_rng(9)
+    gt = _rand_boxes(rng, 300)
+    anchors = _rand_boxes(rng, 300)
+    w = torch.tensor([10.0, 10.0, 5.0, 5.0], dtype=torch.float32)
+    ref = ref_utils.encode_boxes(
+        torch.from_numpy(gt), torch.from_numpy(anchors), w).numpy()
+    got = np.asarray(encode_boxes(gt, anchors))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
