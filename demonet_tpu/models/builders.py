@@ -62,12 +62,19 @@ def ssdlite320_mobilenet_v3_large(
     size: Tuple[int, int] = (320, 320),
     reduced_tail: bool = True,
     dtype: Any = jnp.float32,
+    lane_pack: bool = False,
+    lane_pack_max_lanes: int = 128,
     **config_overrides: Any,
 ) -> Detector:
     """SSDLite320 + MobileNetV3-Large — the flagship model
-    (reference ssd_mobilenetv3.py:159-227, defaults :202-216)."""
+    (reference ssd_mobilenetv3.py:159-227, defaults :202-216).
+
+    lane_pack: run the early trunk blocks in the lane-packed layout
+    (ops/lane_pack.py) — a training-throughput knob with an identical
+    variable tree; numerics match up to conv summation order."""
     extractor = SSDLiteMobileNetExtractor(
-        arch="mobilenet_v3_large", reduced_tail=reduced_tail, dtype=dtype)
+        arch="mobilenet_v3_large", reduced_tail=reduced_tail, dtype=dtype,
+        lane_pack=lane_pack, lane_pack_max_lanes=lane_pack_max_lanes)
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = SSDLiteHead(tuple(num_anchors), num_classes, dtype=dtype)

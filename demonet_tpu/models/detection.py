@@ -182,6 +182,18 @@ def postprocess_detections(
         # opt-in serving mode: TPU PartialReduce top-k (not bit-exact
         # reference parity; see DESIGN.md)
         top_sc, top_idx = jax.lax.approx_max_k(fg_scores, k)
+    elif topk_impl == "sparse":
+        # chunk-skipping Pallas kernel (ops/topk_pallas.py): exact
+        # semantics — above-threshold entries bit-match lax.top_k, the
+        # rest are -inf padding this very pipeline would assign anyway;
+        # falls back to lax.top_k when candidates are dense (random
+        # weights). The serving win on trained models: most
+        # (image, class) rows have no above-threshold anchors at all.
+        from demonet_tpu.ops.topk_pallas import topk_sparse
+
+        slots = max(8, -(-k // 128))
+        top_sc, top_idx = topk_sparse(
+            fg_scores, k, config.score_thresh, slots=slots)
     else:
         top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # sorted desc
     cand_boxes = _gather_rows(

@@ -73,12 +73,15 @@ class SSDLiteMobileNetExtractor(nn.Module):
     bn_momentum: float = 0.97
     min_depth: int = 16
     dtype: Dtype = jnp.float32
+    lane_pack: bool = False  # pack early trunk blocks (ops/lane_pack.py)
+    lane_pack_max_lanes: int = 128
 
     def setup(self):
         rows, _ = mobilenet_v3_conf(self.arch, self.width_mult, self.reduced_tail)
         self.trunk = MobileNetV3Features(
             tuple(rows), bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
-            dtype=self.dtype)
+            dtype=self.dtype, lane_pack=self.lane_pack,
+            lane_pack_max_lanes=self.lane_pack_max_lanes)
         get_depth = lambda d: max(self.min_depth, int(d * self.width_mult))  # noqa: E731
         self.extras = [
             _SSDLiteExtraBlock(get_depth(c), bn_eps=self.bn_eps,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -172,11 +173,36 @@ class InvertedResidualV3(nn.Module):
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
     dtype: Dtype = jnp.float32
+    # lane packing (ops/lane_pack.py): >1 means this block's input arrives
+    # packed at lane_pack_in and its convs run at lane_pack_run; output
+    # leaves packed at lane_pack_run. Variable tree is identical either way.
+    lane_pack_in: int = 1
+    lane_pack_run: int = 1
 
     def setup(self):
         act = hard_swish if self.use_hs else nn.relu
         self._act = act
         self._has_expand = self.expanded_channels != self.in_channels
+        packed = self.lane_pack_run > 1 or self.lane_pack_in > 1
+        if packed:
+            assert self.kernel_size == 3 and not self.use_se \
+                and self.dilation == 1, "lane packing: 3x3 no-SE blocks only"
+            p = self.lane_pack_run
+            if self._has_expand:
+                self.expand_conv = PackedConvBNAct(
+                    self.expanded_channels, self.in_channels, 1, act=act,
+                    bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, pack=p)
+            self.depthwise = PackedConvBNAct(
+                self.expanded_channels, self.expanded_channels, 3,
+                stride=self.stride, depthwise=True, act=act,
+                bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, pack=p)
+            self.project = PackedConvBNAct(
+                self.out_channels, self.expanded_channels, 1, act=None,
+                bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, pack=p)
+            return
         if self._has_expand:
             self.expand_conv = ConvBNAct(
                 self.expanded_channels, 1, act=act, bn_eps=self.bn_eps,
@@ -199,6 +225,7 @@ class InvertedResidualV3(nn.Module):
 
     def expand(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """The expand 1x1 only — the SSDLite C4 tap point."""
+        assert self.lane_pack_run == 1, "C4 tap block is never lane-packed"
         if self._has_expand:
             return self.expand_conv(x, train)
         return x
@@ -211,6 +238,17 @@ class InvertedResidualV3(nn.Module):
         return self.project(y, train)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.lane_pack_run > 1 or self.lane_pack_in > 1:
+            from demonet_tpu.ops.lane_pack import repack
+
+            x = repack(x, self.lane_pack_in, self.lane_pack_run,
+                       self.in_channels)
+            y = x
+            if self._has_expand:
+                y = self.expand_conv(y, train)
+            y = self.depthwise(y, train)
+            y = self.project(y, train)
+            return x + y if self.use_res_connect else y
         y = self.remainder(self.expand(x, train), train)
         return x + y if self.use_res_connect else y
 
@@ -239,4 +277,97 @@ class SeparableConv(nn.Module):
         x = nn.Conv(self.features, (1, 1), use_bias=True,
                     kernel_init=self.kernel_init, dtype=self.dtype,
                     name="pw")(x)
+        return x
+
+
+class _PackedConvKernel(nn.Module):
+    """Declares nn.Conv's kernel param (same name/shape/init) for blocks
+    whose compute runs in the lane-packed layout (ops/lane_pack.py)."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", self.init, self.shape, jnp.float32)
+
+
+class _PackedBatchNorm(nn.Module):
+    """nn.BatchNorm-compatible variables + semantics, computed on packed
+    (B, H, Wp, p*C) activations with per-TRUE-channel statistics."""
+
+    momentum: float
+    epsilon: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, p: int, c: int,
+                 use_running_average: bool) -> jnp.ndarray:
+        from demonet_tpu.ops.lane_pack import packed_batch_stats
+
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = packed_batch_stats(x.astype(jnp.float32), p, c)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        return (x * jnp.tile(mul, p).astype(x.dtype)
+                + jnp.tile(add, p).astype(x.dtype))
+
+
+class PackedConvBNAct(nn.Module):
+    """ConvBNAct computed in the lane-packed layout (ops/lane_pack.py).
+
+    Declares the IDENTICAL variable tree as ConvBNAct (conv/kernel,
+    bn/{scale,bias} + batch_stats bn/{mean,var}) so checkpoints, weight
+    converters, and exports are layout-agnostic. Supports exactly the
+    shapes the packed trunk blocks need: 1x1 pointwise or 3x3 depthwise.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 1
+    stride: int = 1
+    depthwise: bool = False
+    act: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.99
+    kernel_init: Callable = KAIMING_OUT
+    dtype: Dtype = jnp.float32
+    pack: int = 1
+
+    def setup(self):
+        if self.depthwise:
+            assert self.kernel_size == 3 and self.features == self.in_features
+            shape = (3, 3, 1, self.features)
+        else:
+            assert self.kernel_size == 1
+            shape = (1, 1, self.in_features, self.features)
+        self.conv = _PackedConvKernel(shape, self.kernel_init, name="conv")
+        self.bn = _PackedBatchNorm(self.bn_momentum, self.bn_eps,
+                                   self.dtype, name="bn")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from demonet_tpu.ops.lane_pack import conv_1x1_packed, conv_dw_packed
+
+        kernel = self.conv().astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.depthwise:
+            x = conv_dw_packed(x, kernel, self.pack, self.stride)
+        else:
+            x = conv_1x1_packed(x, kernel, self.pack)
+        x = self.bn(x, self.pack, self.features,
+                    use_running_average=not train)
+        if self.act is not None:
+            x = self.act(x)
         return x

@@ -109,18 +109,47 @@ class MobileNetV3Features(nn.Module):
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
     dtype: Any = jnp.float32
+    # lane-pack the eligible early-block prefix (ops/lane_pack.py): packs
+    # W-pixels into vector lanes so the 16-72-channel trunk blocks fill
+    # the 128-wide registers. Identical variable tree; training-perf knob.
+    lane_pack: bool = False
+    lane_pack_max_lanes: int = 128
+
+    def _pack_plan(self):
+        """Per-block run pack factor; 1 = unpacked. Only a PREFIX of
+        eligible (3x3, no-SE) blocks packs — the first ineligible or
+        no-win block ends it."""
+        plan = []
+        ended = not self.lane_pack
+        for cfg in self.configs:
+            p_run = 1
+            if not ended and cfg.kernel == 3 and not cfg.use_se \
+                    and cfg.dilation == 1:
+                for p in (8, 4, 2):
+                    if p * cfg.expanded_channels <= self.lane_pack_max_lanes \
+                            and p * cfg.in_channels <= self.lane_pack_max_lanes:
+                        p_run = p
+                        break
+            if p_run == 1:
+                ended = True
+            plan.append(p_run)
+        return plan
 
     def setup(self):
         self.stem = ConvBNAct(
             self.configs[0].in_channels, 3, stride=2, act=hard_swish,
             bn_eps=self.bn_eps, bn_momentum=self.bn_momentum, dtype=self.dtype)
+        plan = self._pack_plan()
+        self._plan = plan
         self.blocks = [
             InvertedResidualV3(
                 cfg.in_channels, cfg.expanded_channels, cfg.out_channels,
                 cfg.kernel, cfg.stride, cfg.dilation, cfg.use_se, cfg.use_hs,
                 bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
-                dtype=self.dtype)
-            for cfg in self.configs
+                dtype=self.dtype,
+                lane_pack_in=(plan[i - 1] if i and plan[i] > 1 else 1),
+                lane_pack_run=plan[i])
+            for i, cfg in enumerate(self.configs)
         ]
         self.last_conv = ConvBNAct(
             6 * self.configs[-1].out_channels, 1, act=hard_swish,
@@ -134,16 +163,24 @@ class MobileNetV3Features(nn.Module):
     def __call__(
         self, x: jnp.ndarray, train: bool = False, c4_split: bool = False
     ) -> List[jnp.ndarray]:
+        from demonet_tpu.ops.lane_pack import unpack
+
         out = []
         x = self.stem(x, train)
         c4 = self.c4_block_index if c4_split else -1
+        plan = self._plan
         for i, block in enumerate(self.blocks):
+            if i and plan[i - 1] > 1 and plan[i] == 1:
+                # packed prefix ended: back to pixel layout
+                x = unpack(x, plan[i - 1], self.configs[i].in_channels)
             if i == c4:
                 x = block.expand(x, train)
                 out.append(x)
                 x = block.remainder(x, train)
             else:
                 x = block(x, train)
+        if plan[-1] > 1:
+            x = unpack(x, plan[-1], self.configs[-1].out_channels)
         x = self.last_conv(x, train)
         out.append(x)
         return out

@@ -1,0 +1,128 @@
+"""Lane-packed convolutions: W-adjacent pixels packed into the channel dim.
+
+The early MobileNet trunk blocks are the training-step bottleneck (~25 ms
+of the 53.7 ms fp32 b64 step, DESIGN.md "Training-step profile"): their
+16-72 channels fill only 1/8..1/2 of the TPU's 128-wide vector lanes and
+registers, so XLA's convs run HBM-bound at half bandwidth, and the
+backward convs are worse. This module implements the "paired-pixel lane
+layout" fix scoped in round 2 (DESIGN.md, ops/fused_block.py docstring) at
+the XLA level rather than as a Pallas kernel:
+
+  * pack p W-adjacent pixels into channels, PIXEL-MAJOR
+    (lane = pixel_slot * C + c), so (B, H, W, C) -> (B, H, W/p, p*C) is a
+    pure reshape and changing the pack factor is also a pure reshape;
+  * 1x1 convs become kron(I_p, K) block-diagonal convs — the MXU does a
+    128-wide pass regardless of K's width, so the "wasted" zero blocks are
+    free while the lane fill goes from C/128 to p*C/128;
+  * the 3x3 depthwise becomes a (3, 3) conv over (H, packed-W) whose
+    kernel encodes the in-pack W-shifts (the lane-roll part of the
+    paired-pixel design) — strides 1 and 2 both map onto pack-level
+    stride with a 3-pack window.
+
+Because everything stays a stock XLA conv, the round-2 failure mode
+("breaks XLA's conv+BN+activation fusion", which made the 1x1-as-matmul
+attempt 16% slower) does not apply, and the BACKWARD pass inherits the
+same lane-filling layout through plain autodiff — no custom_vjp needed.
+
+Numerics: bit-comparable to the unpacked convs up to XLA conv summation
+order (same MXU precision either way); equivalence pinned in
+tests/test_lane_pack.py, composed-train-step timings in
+tools/check_packed_tpu.py and DESIGN.md.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/p, p*C), pixel-major lanes."""
+    if p == 1:
+        return x
+    b, h, w, c = x.shape
+    assert w % p == 0, (w, p)
+    return x.reshape(b, h, w // p, p * c)
+
+
+def unpack(x: jnp.ndarray, p: int, c: int) -> jnp.ndarray:
+    """(B, H, Wp, p*C) -> (B, H, Wp*p, C)."""
+    if p == 1:
+        return x
+    b, h, wp, pc = x.shape
+    assert pc == p * c, (pc, p, c)
+    return x.reshape(b, h, wp * p, c)
+
+
+def repack(x: jnp.ndarray, p_from: int, p_to: int, c: int) -> jnp.ndarray:
+    """Change pack factor — a pure reshape thanks to pixel-major lanes."""
+    if p_from == p_to:
+        return x
+    return pack(unpack(x, p_from, c), p_to)
+
+
+def kron_1x1_kernel(kernel: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(1, 1, CI, CO) -> (1, 1, p*CI, p*CO) block-diagonal (per pixel slot)."""
+    ci, co = kernel.shape[-2:]
+    k2 = kernel.reshape(ci, co)
+    big = jnp.einsum("pq,io->piqo", jnp.eye(p, dtype=kernel.dtype), k2)
+    return big.reshape(1, 1, p * ci, p * co)
+
+
+def packed_dw_kernel(kernel: jnp.ndarray, p: int, stride: int) -> jnp.ndarray:
+    """Depthwise (KH, 3, 1, C) -> dense (KH, 3, p*C, p*C) over packed W.
+
+    Output pixel slot j at pack J needs input pixel stride*(p*J + j) + dx;
+    writing q = stride*j + dx, that input lives at pack stride*J + floor(q/p),
+    slot q mod p — a 3-pack window (pad 1) at pack-level stride `stride`.
+    """
+    kh, kw, _, c = kernel.shape
+    assert kw == 3, kw
+    big = jnp.zeros((kh, 3, p * c, p * c), kernel.dtype)
+    ar = jnp.arange(c)
+    for j in range(p):
+        for dx in (-1, 0, 1):
+            q = stride * j + dx
+            delta, j_in = q // p, q % p
+            assert -1 <= delta <= 1, (p, stride, j, dx)
+            for ky in range(kh):
+                big = big.at[ky, delta + 1, j_in * c + ar, j * c + ar].set(
+                    kernel[ky, dx + 1, 0, :])
+    return big
+
+
+def conv_1x1_packed(x: jnp.ndarray, kernel: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Packed x (B, H, Wp, p*CI) @ 1x1 kernel (1, 1, CI, CO)."""
+    return jax.lax.conv_general_dilated(
+        x, kron_1x1_kernel(kernel, p).astype(x.dtype),
+        window_strides=(1, 1), padding="VALID", dimension_numbers=_DN)
+
+
+def conv_dw_packed(x: jnp.ndarray, kernel: jnp.ndarray, p: int,
+                   stride: int) -> jnp.ndarray:
+    """Packed depthwise: x (B, H, Wp, p*C), kernel (KH, 3, 1, C).
+
+    H keeps its pixel-level stride/padding; packed W uses stride `stride`
+    with a fixed 3-pack window and 1-pack padding (zeros = the pixel-level
+    W padding, since out-of-pack taps only reach adjacent packs).
+    """
+    kh = kernel.shape[0]
+    ph = (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, packed_dw_kernel(kernel, p, stride).astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((ph, ph), (1, 1)), dimension_numbers=_DN)
+
+
+def packed_batch_stats(x: jnp.ndarray, p: int, c: int):
+    """Per-TRUE-channel (mean, var) of packed activations — identical to the
+    unpacked nn.BatchNorm batch statistics (every pixel counted once)."""
+    b, h, wp, pc = x.shape
+    v = x.reshape(b, h, wp, p, c)
+    mean = jnp.mean(v, axis=(0, 1, 2, 3))
+    var = jnp.mean(jnp.square(v), axis=(0, 1, 2, 3)) - jnp.square(mean)
+    return mean, var

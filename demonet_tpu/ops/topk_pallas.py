@@ -1,0 +1,244 @@
+"""Chunk-skipping exact top-k for sparse (trained-model) score tensors.
+
+The serving pipeline's per-class candidate selection is `lax.top_k` over
+(B, C-1, A) scores — XLA lowers it to a full variadic sort, 12.5 ms of the
+27.5 ms batch-64 pipeline (DESIGN.md "exact-top-k wall"). But everything at
+or below `score_thresh` is discarded by the very next pipeline stage
+(models/detection.py::postprocess_detections), so only above-threshold
+entries matter — and on a TRAINED model those are sparse: most
+(image, class) rows have none at all. The reference hits the same
+structure in its per-class Python loop (generalized_ssd.py:368-378), where
+`scores > score_thresh` filtering runs before top-k.
+
+Kernel scheme (per (image, class) row):
+  1. XLA side: mask scores <= thresh to -inf; split the anchor axis into
+     128-wide chunks; compute which chunks contain any candidate and each
+     passing chunk's destination slot (exclusive cumsum). Rows needing
+     more than `slots` chunks overflow.
+  2. Pallas side: copy only passing chunks into a `slots`-chunk buffer
+     (sublane-dynamic stores, slot-major layout), rearrange statically to
+     lane layout, and run an unrolled bitonic sort of slots*128 entries
+     carrying the global anchor index as payload (descending score,
+     ascending index on ties — exactly lax.top_k's tie rule).
+  3. Caller: if ANY row overflowed, fall back to plain lax.top_k for the
+     whole batch (jax.lax.cond) — semantics stay EXACT for every input;
+     the kernel is purely a fast path for the sparse regime.
+
+Output contract: entries above the threshold are bit-identical to
+lax.top_k's (score, index); padding entries carry -inf scores (dead
+downstream: the pipeline re-masks with `score > thresh`) and in-range
+indices (safe to gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")  # plain Python float: jnp scalars become captured
+#                           tracer constants inside pallas kernels
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _compare_swap(key, idx, partner_key, partner_idx, take_partner):
+    """Keep (key, idx) or the partner's pair, elementwise."""
+    nk = jnp.where(take_partner, partner_key, key)
+    ni = jnp.where(take_partner, partner_idx, idx)
+    return nk, ni
+
+
+def _partner(arr, d: int, axis: int = 1):
+    """Value at index (i XOR d) along `axis`, via two global rolls."""
+    up = jnp.roll(arr, -d, axis=axis)
+    down = jnp.roll(arr, d, axis=axis)
+    bit = (jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis) & d) != 0
+    return jnp.where(bit, down, up)
+
+
+def _bitonic_sort_desc(key, idx):
+    """Bitonic sort of (R, N) rows: key DESCENDING, idx ascending on ties.
+
+    N = key.shape[1] must be a power of two. Fully unrolled (static
+    shifts) so Mosaic sees only static lane rotations.
+    """
+    r, n = key.shape
+    assert n & (n - 1) == 0, n
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    stage = 2
+    while stage <= n:
+        # direction per element: descending when (i & stage) == 0
+        desc = (pos & stage) == 0
+        d = stage // 2
+        while d >= 1:
+            pk = _partner(key, d)
+            pi = _partner(idx, d)
+            upper = (pos & d) != 0  # this element is the partner's upper half
+            # For a descending block: lower half should hold the larger
+            # (key, -idx); for ascending the smaller.
+            self_wins_desc = (key > pk) | ((key == pk) & (idx < pi))
+            # tie on BOTH fields means self == partner; pick either
+            want_self = jnp.where(upper, ~self_wins_desc, self_wins_desc)
+            want_self = jnp.where(desc, want_self, ~want_self)
+            key, idx = _compare_swap(key, idx, pk, pi, ~want_self)
+            d //= 2
+        stage *= 2
+    return key, idx
+
+
+def _topk_kernel(pass_ref, slot_ref, score_ref, out_sc_ref, out_idx_ref,
+                 buf_key, buf_idx, *, rows: int, chunks: int, slots: int):
+    """One grid step = `rows` problem rows.
+
+    pass_ref/slot_ref: (rows, chunks) int32 in SMEM — 1 if the chunk has a
+      candidate; its destination slot (exclusive cumsum, < slots).
+    score_ref: (rows*chunks, 128) VMEM — row r chunk c at sublane r*chunks+c,
+      already -inf-masked at the threshold.
+    buf_key/buf_idx: (slots*rows, 128) VMEM scratch, SLOT-MAJOR: row r slot s
+      at sublane s*rows + r (so the post-compaction rearrange is static).
+    """
+    buf_key[:] = jnp.full((slots * rows, _LANE), _NEG_INF, jnp.float32)
+    buf_idx[:] = jnp.zeros((slots * rows, _LANE), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    def copy_chunk(c, r):
+        src = score_ref[pl.ds(r * chunks + c, 1), :]
+        s = slot_ref[r, c]
+        dst = s * rows + r
+        buf_key[pl.ds(dst, 1), :] = src
+        buf_idx[pl.ds(dst, 1), :] = c * _LANE + lane
+
+    def row_body(r, _):
+        def chunk_body(c, _):
+            @pl.when(pass_ref[r, c] == 1)
+            def _():
+                copy_chunk(c, r)
+            return 0
+
+        jax.lax.fori_loop(0, chunks, chunk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row_body, 0)
+
+    # static rearrange: (slots*rows, 128) slot-major -> (rows, slots*128)
+    key = jnp.concatenate(
+        [buf_key[s * rows:(s + 1) * rows, :] for s in range(slots)], axis=1)
+    idx = jnp.concatenate(
+        [buf_idx[s * rows:(s + 1) * rows, :] for s in range(slots)], axis=1)
+    # bitonic width must be a power of two: pad with (-inf, big-idx)
+    n = slots * _LANE
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        key = jnp.concatenate(
+            [key, jnp.full((rows, n2 - n), _NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.full((rows, n2 - n), 1 << 30, jnp.int32)], axis=1)
+    key, idx = _bitonic_sort_desc(key, idx)
+    out_sc_ref[:] = key[:, :n]
+    out_idx_ref[:] = idx[:, :n]
+
+
+def _run_kernel(grouped, chunk_pass, slot, slots: int, rows: int,
+                chunks: int, p_pad: int, interpret: bool):
+    grid = (p_pad // rows,)
+    kernel = functools.partial(_topk_kernel, rows=rows, chunks=chunks,
+                               slots=slots)
+    out_sc, out_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, chunks), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, chunks), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows * chunks, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, slots * _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, slots * _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad, slots * _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad, slots * _LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slots * rows, _LANE), jnp.float32),
+            pltpu.VMEM((slots * rows, _LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(chunk_pass.astype(jnp.int32), slot,
+      grouped.reshape(p_pad * chunks, _LANE))
+    return out_sc, out_idx
+
+
+def topk_sparse(scores: jnp.ndarray, k: int, thresh: float,
+                slots: int = 8, rows: int = 8,
+                interpret: bool = False) -> tuple:
+    """Exact-semantics top-k of (..., A) scores for thresholded pipelines.
+
+    Equivalent to `jax.lax.top_k(scores, k)` for every entry with
+    score > thresh (bit-identical values, indices, and tie order); entries
+    at or below the threshold come back as (-inf, in-range index) padding
+    instead of their true values — exactly what a downstream
+    `jnp.where(sc > thresh, sc, -inf)` stage makes of them anyway.
+
+    Falls back to lax.top_k (whole call) when any row's candidates span
+    more than `slots` 128-anchor chunks, so results are NEVER approximate.
+    """
+    if k > slots * _LANE:
+        raise ValueError(f"k={k} exceeds kernel capacity {slots * _LANE}; "
+                         "raise slots")
+    lead = scores.shape[:-1]
+    a = scores.shape[-1]
+    flat = scores.reshape(-1, a)
+
+    p = flat.shape[0]
+    a_pad = _round_up(a, _LANE)
+    chunks = a_pad // _LANE
+    p_pad = _round_up(max(p, rows), rows)
+
+    masked = jnp.where(flat > thresh, flat.astype(jnp.float32), _NEG_INF)
+    masked = jnp.pad(masked, ((0, p_pad - p), (0, a_pad - a)),
+                     constant_values=_NEG_INF)
+    grouped = masked.reshape(p_pad, chunks, _LANE)
+    chunk_pass = jnp.any(grouped > _NEG_INF, axis=2)  # (P, chunks)
+    slot = jnp.cumsum(chunk_pass.astype(jnp.int32), axis=1) - chunk_pass
+    overflow = jnp.any(jnp.sum(chunk_pass, axis=1) > slots)
+    # clamp so overflowing rows still index in-bounds (their results are
+    # discarded: overflow forces the dense fallback for the whole call)
+    slot = jnp.minimum(slot, slots - 1)
+
+    def dense(_):
+        t_sc, t_idx = jax.lax.top_k(flat, k)
+        return t_sc.astype(jnp.float32), t_idx.astype(jnp.int32)
+
+    def sparse(_):
+        sc, idx = _run_kernel(grouped, chunk_pass, slot, slots, rows,
+                              chunks, p_pad, interpret)
+        return sc[:p, :k], idx[:p, :k]
+
+    out_sc, out_idx = jax.lax.cond(overflow, dense, sparse, operand=None)
+    return (out_sc.reshape(*lead, k), out_idx.reshape(*lead, k))
+
+
+def topk_sparse_reference(scores: np.ndarray, k: int, thresh: float):
+    """Numpy oracle with the same output contract, for tests."""
+    lead = scores.shape[:-1]
+    flat = scores.reshape(-1, scores.shape[-1])
+    sc = np.where(flat > thresh, flat, -np.inf)
+    order = np.lexsort((np.broadcast_to(np.arange(flat.shape[1]),
+                                        flat.shape), -sc), axis=1)[:, :k]
+    out_sc = np.take_along_axis(sc, order, axis=1)
+    return (out_sc.reshape(*lead, k).astype(np.float32),
+            order.reshape(*lead, k).astype(np.int32))
