@@ -98,11 +98,14 @@ def preprocess(
 
 
 def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
-              config: SSDConfig, nms_impl: str) -> jnp.ndarray:
+              config: SSDConfig, nms_impl: str,
+              chunk: int = 512) -> jnp.ndarray:
     """Keep mask for (P, K) score-sorted candidate sets.
 
     'pallas' = the TPU kernel (ops/nms_pallas.py); 'xla' = vmapped scan
-    (ops/nms.py) for CPU/debug; 'auto' picks by backend.
+    (ops/nms.py) for CPU/debug; 'auto' picks by backend. `chunk` =
+    problems per kernel grid step (VMEM scales with K * chunk — the
+    fused path's K=1024 problems use a smaller chunk).
     """
     if nms_impl == "auto":
         nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -110,7 +113,8 @@ def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
         from demonet_tpu.ops.nms_pallas import nms_keep_batch
 
         return nms_keep_batch(
-            cand_boxes, cand_scores, config.nms_thresh, _NEG_INF / 2)
+            cand_boxes, cand_scores, config.nms_thresh, _NEG_INF / 2,
+            chunk=chunk)
     per_problem = functools.partial(
         nms_mask, iou_threshold=config.nms_thresh, score_threshold=_NEG_INF / 2)
     return jax.vmap(per_problem)(cand_boxes, cand_scores)
@@ -151,6 +155,7 @@ def postprocess_detections(
     nms_impl: str = "auto",
     topk_impl: str = "exact",
     gather_impl: str = "auto",
+    impl: str = "reference",
 ) -> Dict[str, jnp.ndarray]:
     """Batched decode + class-wise NMS (+ rescale to original image sizes).
 
@@ -168,7 +173,14 @@ def postprocess_detections(
 
     Returns {'boxes': (B, D, 4), 'scores': (B, D), 'labels': (B, D) int32,
              'valid': (B, D) bool}.
+
+    impl="fused" routes through the trained-model fast path
+    (_postprocess_fused below) with an exact fallback to this pipeline.
     """
+    if impl == "fused":
+        return _postprocess_fused(
+            cls_logits, bbox_regression, anchors, config, original_sizes,
+            nms_impl, gather_impl)
     b, a, c = cls_logits.shape
     scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     boxes = decode_boxes(
@@ -182,18 +194,19 @@ def postprocess_detections(
         # opt-in serving mode: TPU PartialReduce top-k (not bit-exact
         # reference parity; see DESIGN.md)
         top_sc, top_idx = jax.lax.approx_max_k(fg_scores, k)
-    elif topk_impl == "sparse":
-        # chunk-skipping Pallas kernel (ops/topk_pallas.py): exact
-        # semantics — above-threshold entries bit-match lax.top_k, the
-        # rest are -inf padding this very pipeline would assign anyway;
-        # falls back to lax.top_k when candidates are dense (random
-        # weights). The serving win on trained models: most
-        # (image, class) rows have no above-threshold anchors at all.
-        from demonet_tpu.ops.topk_pallas import topk_sparse
+    elif topk_impl in ("sparse", "sparse_pallas"):
+        # chunk-skipping top-k (ops/topk_pallas.py): exact semantics —
+        # above-threshold entries bit-match lax.top_k, the rest are -inf
+        # padding this very pipeline would assign anyway; falls back to
+        # lax.top_k when candidates are dense (random weights). The
+        # serving win on trained models: most (image, class) rows have no
+        # above-threshold anchors at all. "sparse" = the fast pure-XLA
+        # formulation; "sparse_pallas" = the measured-slower kernel.
+        from demonet_tpu.ops.topk_pallas import topk_sparse, topk_sparse_xla
 
+        fn = topk_sparse_xla if topk_impl == "sparse" else topk_sparse
         slots = max(8, -(-k // 128))
-        top_sc, top_idx = topk_sparse(
-            fg_scores, k, config.score_thresh, slots=slots)
+        top_sc, top_idx = fn(fg_scores, k, config.score_thresh, slots=slots)
     else:
         top_sc, top_idx = jax.lax.top_k(fg_scores, k)  # sorted desc
     cand_boxes = _gather_rows(
@@ -209,7 +222,8 @@ def postprocess_detections(
     flat_sc = jnp.where(keep, cand_sc, _NEG_INF).reshape(b, -1)
 
     d = config.detections_per_img
-    out_scores, out_idx = jax.lax.top_k(flat_sc, d)  # (B, D)
+    d2 = min(d, (c - 1) * k)  # pad below if fewer candidate slots than D
+    out_scores, out_idx = jax.lax.top_k(flat_sc, d2)  # (B, D)
     valid = out_scores > _NEG_INF / 2
     # labels need no gather at all: the flat index encodes (class, cand)
     out_boxes = _gather_rows(
@@ -217,6 +231,12 @@ def postprocess_detections(
     out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
     out_labels = jnp.where(valid, (out_idx // k).astype(jnp.int32) + 1, 0)
     out_scores = jnp.where(valid, out_scores, 0.0)
+    if d2 < d:
+        pad = ((0, 0), (0, d - d2))
+        out_boxes = jnp.pad(out_boxes, (*pad, (0, 0)))
+        out_labels = jnp.pad(out_labels, pad)
+        out_scores = jnp.pad(out_scores, pad)
+        valid = jnp.pad(valid, pad)
 
     if original_sizes is not None:
         h, w = config.size
@@ -228,6 +248,134 @@ def postprocess_detections(
 
     return {"boxes": out_boxes, "scores": out_scores,
             "labels": out_labels, "valid": valid}
+
+
+_FUSED_R = 1024      # per-image live-candidate capacity of the fast path
+_FUSED_SLOTS = 192   # 128-anchor chunk budget per image (measured on the
+#                      round-3 trained checkpoint: mean 55 live chunks per
+#                      image, max 144, p99 112 — see DESIGN.md)
+
+
+def _postprocess_fused(
+    cls_logits: jnp.ndarray,
+    bbox_regression: jnp.ndarray,
+    anchors: jnp.ndarray,
+    config: SSDConfig,
+    original_sizes: Optional[jnp.ndarray],
+    nms_impl: str,
+    gather_impl: str,
+) -> Dict[str, jnp.ndarray]:
+    """Trained-model serving fast path: per-IMAGE global candidate select.
+
+    On a trained model almost every (image, class) row has no
+    above-threshold anchor (measured on the round-3 trained checkpoint:
+    494 live rows of 5760, mean 324 / max 982 live anchors per image,
+    landing in mean 55 / max 144 of the 2,274 per-image 128-anchor
+    chunks), so the reference-shaped pipeline — per-class top-k over
+    (B, C-1, A) and 5,760 NMS problems — sorts and suppresses
+    overwhelmingly dead slots. This path instead:
+
+      1. finds the live 128-anchor chunks of each image's flattened
+         (C-1)*A score row, selects the first `_FUSED_SLOTS` of them in
+         ascending chunk order (a 2,274-id sort, not a 291,060-score
+         sort), gathers them, and top-k's the slots*128 gathered entries
+         — provably every above-threshold entry when the guards hold;
+      2. guards (any violation -> lax.cond fallback to the reference
+         pipeline, so semantics are exact on EVERY input): a class
+         exceeding topk_candidates, an image exceeding R live anchors,
+         an image exceeding the chunk budget. Random-weight inputs are
+         dense and always take the fallback;
+      3. candidate order equals lax.top_k's tie order for free: chunks
+         are gathered ascending, so flat gathered position is ascending
+         global position;
+      4. decode/clip only the R candidates; ONE class-offset NMS problem
+         per image (torchvision batched_nms's trick, reference
+         generalized_ssd.py:389) — cross-class IoU is 0, and each class's
+         subsequence keeps its score order, so keep decisions equal the
+         reference's per-class NMS;
+      5. top detections_per_img of the kept scores.
+    """
+    b, a, c = cls_logits.shape
+    n = (c - 1) * a
+    n_pad = -(-n // 128) * 128
+    n_chunks = n_pad // 128
+    d = config.detections_per_img
+    slots = min(_FUSED_SLOTS, n_chunks)
+    r = min(max(_FUSED_R, d), n, slots * 128)
+    cap = min(config.topk_candidates, a)
+
+    scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    fg = jnp.swapaxes(scores[..., 1:], 1, 2)        # (B, C-1, A)
+    live = fg > config.score_thresh
+    per_class = jnp.sum(live, axis=2)               # (B, C-1)
+    per_img = jnp.sum(per_class, axis=1)            # (B,)
+    flat = jnp.where(live, fg, _NEG_INF).reshape(b, n)
+    grouped = jnp.pad(flat, ((0, 0), (0, n_pad - n)),
+                      constant_values=_NEG_INF).reshape(b, n_chunks, 128)
+    chunk_has = jnp.any(grouped > _NEG_INF / 2, axis=2)   # (B, n_chunks)
+    use_ref = (jnp.any(per_class > cap)
+               | jnp.any(per_img > r)
+               | jnp.any(jnp.sum(chunk_has, axis=1) > slots))
+
+    def reference(_):
+        return postprocess_detections(
+            cls_logits, bbox_regression, anchors, config, original_sizes,
+            nms_impl=nms_impl, gather_impl=gather_impl)
+
+    def fused(_):
+        ids = jnp.where(chunk_has,
+                        jnp.arange(n_chunks, dtype=jnp.int32)[None],
+                        jnp.int32(n_chunks))
+        sel = jax.lax.sort(ids, dimension=1)[:, :slots]   # ascending
+        vslot = sel < n_chunks
+        sel_c = jnp.minimum(sel, n_chunks - 1)
+        g = jnp.take_along_axis(grouped, sel_c[:, :, None], axis=1)
+        g = jnp.where(vslot[:, :, None], g, _NEG_INF)
+        sc, gpos = jax.lax.top_k(g.reshape(b, slots * 128), r)
+        pos = (jnp.take_along_axis(sel_c, gpos // 128, axis=1) * 128
+               + gpos % 128)
+        pos = jnp.minimum(pos, n - 1)                # pad-chunk clamp
+        cls = pos // a                               # 0-based fg class
+        anch = pos % a
+        deltas = _gather_rows(
+            bbox_regression.astype(jnp.float32), anch, gather_impl)
+        anch_boxes = jnp.take(
+            anchors, anch.reshape(-1), axis=0).reshape(b, r, 4)
+        boxes = decode_boxes(deltas, anch_boxes, config.box_coder_weights)
+        boxes = clip_boxes_to_image(boxes, config.size)
+        valid = sc > config.score_thresh
+        # class-offset trick: one NMS problem per image
+        offset = float(max(config.size)) + 2.0
+        off = boxes + (cls.astype(jnp.float32) * offset)[..., None]
+        nms_sc = jnp.where(valid, sc, _NEG_INF)
+        keep = _nms_keep(off, nms_sc, config, nms_impl, chunk=128)  # (B, R)
+        kept = jnp.where(keep, nms_sc, _NEG_INF)
+        k2 = min(d, r)
+        out_sc, oidx = jax.lax.top_k(kept, k2)
+        valid_out = out_sc > _NEG_INF / 2
+        ob = _gather_rows(boxes, oidx, gather_impl)
+        ol = jnp.take_along_axis(cls, oidx, axis=1) + 1
+        out_boxes = jnp.where(valid_out[..., None], ob, 0.0)
+        out_labels = jnp.where(valid_out, ol, 0).astype(jnp.int32)
+        out_scores = jnp.where(valid_out, out_sc, 0.0)
+        if k2 < d:
+            pad = ((0, 0), (0, d - k2))
+            out_boxes = jnp.pad(out_boxes, (*pad, (0, 0)))
+            out_labels = jnp.pad(out_labels, pad)
+            out_scores = jnp.pad(out_scores, pad)
+            valid_out = jnp.pad(valid_out, pad)
+        if original_sizes is not None:
+            h, w = config.size
+            ratio = original_sizes.astype(jnp.float32) / jnp.asarray(
+                [h, w], jnp.float32)
+            scale = jnp.stack(
+                [ratio[:, 1], ratio[:, 0], ratio[:, 1], ratio[:, 0]],
+                axis=-1)
+            out_boxes = out_boxes * scale[:, None, :]
+        return {"boxes": out_boxes, "scores": out_scores,
+                "labels": out_labels, "valid": valid_out}
+
+    return jax.lax.cond(use_ref, reference, fused, operand=None)
 
 
 @dataclasses.dataclass

@@ -83,12 +83,15 @@ def _bitonic_sort_desc(key, idx):
             pi = _partner(idx, d)
             upper = (pos & d) != 0  # this element is the partner's upper half
             # For a descending block: lower half should hold the larger
-            # (key, -idx); for ascending the smaller.
+            # (key, -idx); for ascending the smaller. Expressed as XORs of
+            # i1 vectors — a select over bool vectors fails Mosaic
+            # legalization ("Unsupported target bitwidth for truncation").
             self_wins_desc = (key > pk) | ((key == pk) & (idx < pi))
-            # tie on BOTH fields means self == partner; pick either
-            want_self = jnp.where(upper, ~self_wins_desc, self_wins_desc)
-            want_self = jnp.where(desc, want_self, ~want_self)
-            key, idx = _compare_swap(key, idx, pk, pi, ~want_self)
+            # want_self = where(desc, where(upper, ~s, s), ~where(...))
+            #           = ~(s ^ upper ^ desc); tie on BOTH fields means the
+            # values are identical, so either choice is the same value
+            take_partner = self_wins_desc ^ upper ^ desc
+            key, idx = _compare_swap(key, idx, pk, pi, take_partner)
             d //= 2
         stage *= 2
     return key, idx
@@ -227,6 +230,72 @@ def topk_sparse(scores: jnp.ndarray, k: int, thresh: float,
         sc, idx = _run_kernel(grouped, chunk_pass, slot, slots, rows,
                               chunks, p_pad, interpret)
         return sc[:p, :k], idx[:p, :k]
+
+    out_sc, out_idx = jax.lax.cond(overflow, dense, sparse, operand=None)
+    return (out_sc.reshape(*lead, k), out_idx.reshape(*lead, k))
+
+
+def topk_sparse_xla(scores: jnp.ndarray, k: int, thresh: float,
+                    slots: int = 8) -> tuple:
+    """Chunk-skipping exact top-k, pure-XLA formulation (the fast one).
+
+    Same contract as topk_sparse: bit-identical to lax.top_k for every
+    entry above `thresh` (values, indices, tie order), -inf padding below,
+    dense lax.top_k fallback (whole call) when any row's candidates span
+    more than `slots` 128-anchor chunks.
+
+    Scheme: per row, select the first `slots` candidate-bearing chunks in
+    ascending chunk order (a 26-element sort, not a 3234-element one),
+    gather them, and run lax.top_k over slots*128 entries instead of A.
+    Ascending chunk order preserves lax.top_k's index tie-breaking because
+    the gathered layout is an order-preserving subsequence of the row.
+    Measured on v5e b64 production shapes: 12.5 ms (full top_k) -> ~3 ms;
+    the hand-written Pallas compaction kernel (topk_sparse) measured
+    SLOWER than the full sort (13.0 ms) — its per-row scalar chunk loops
+    dominate — and is kept for the measurement record.
+    """
+    if k > slots * _LANE:
+        raise ValueError(f"k={k} exceeds capacity {slots * _LANE}; "
+                         "raise slots")
+    lead = scores.shape[:-1]
+    a = scores.shape[-1]
+    flat = scores.reshape(-1, a)
+    p = flat.shape[0]
+    a_pad = _round_up(a, _LANE)
+    chunks = a_pad // _LANE
+
+    slots = min(slots, chunks)
+    if k > slots * _LANE:
+        # fewer chunks than requested slots and k spans them all: the
+        # "sparse" selection would be the whole row — just run top_k
+        t_sc, t_idx = jax.lax.top_k(flat, k)
+        return (t_sc.astype(jnp.float32).reshape(*lead, k),
+                t_idx.astype(jnp.int32).reshape(*lead, k))
+    masked = jnp.where(flat > thresh, flat.astype(jnp.float32), _NEG_INF)
+    masked = jnp.pad(masked, ((0, 0), (0, a_pad - a)),
+                     constant_values=_NEG_INF)
+    grouped = masked.reshape(p, chunks, _LANE)
+    chunk_has = jnp.any(grouped > _NEG_INF, axis=2)          # (P, C)
+    overflow = jnp.any(jnp.sum(chunk_has, axis=1) > slots)
+
+    def dense(_):
+        t_sc, t_idx = jax.lax.top_k(flat, k)
+        return t_sc.astype(jnp.float32), t_idx.astype(jnp.int32)
+
+    def sparse(_):
+        ids = jnp.where(chunk_has, jnp.arange(chunks, dtype=jnp.int32)[None],
+                        jnp.int32(chunks))
+        sel = jax.lax.sort(ids, dimension=1)[:, :slots]      # ascending
+        valid = sel < chunks
+        sel_c = jnp.minimum(sel, chunks - 1)
+        g = jnp.take_along_axis(grouped, sel_c[:, :, None], axis=1)
+        g = jnp.where(valid[:, :, None], g, _NEG_INF)
+        sc, pos = jax.lax.top_k(g.reshape(p, slots * _LANE), k)
+        slot_i, lane = pos // _LANE, pos % _LANE
+        chunk_of = jnp.take_along_axis(sel_c, slot_i, axis=1)
+        idx = chunk_of * _LANE + lane
+        # padding entries carry in-range (clamped-chunk) indices
+        return sc, jnp.minimum(idx, a - 1).astype(jnp.int32)
 
     out_sc, out_idx = jax.lax.cond(overflow, dense, sparse, operand=None)
     return (out_sc.reshape(*lead, k), out_idx.reshape(*lead, k))

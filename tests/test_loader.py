@@ -55,12 +55,14 @@ def test_epoch_changes_augmentations():
     _assert_batches_equal(e0, _collect(ld))
 
 
-def test_worker_pool_matches_serial():
+@pytest.mark.parametrize("workers", [2, 4])
+def test_worker_pool_matches_serial(workers):
     """num_workers>0 (spawn pool + shared-memory slab) yields the same
-    batches in the same order as the serial path."""
+    batches in the same order as the serial path — worker-count invariant
+    (augmentation RNG is a pure function of (seed, epoch, index))."""
     kw = dict(batch_size=4, image_size=(64, 64), shuffle=True, seed=3)
     serial = _collect(DetectionLoader(_make_ds(), **kw))
-    pooled = _collect(DetectionLoader(_make_ds(), num_workers=2, **kw))
+    pooled = _collect(DetectionLoader(_make_ds(), num_workers=workers, **kw))
     _assert_batches_equal(serial, pooled)
 
 

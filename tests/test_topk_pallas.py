@@ -8,7 +8,15 @@ import jax.numpy as jnp
 import pytest
 
 from demonet_tpu.ops.topk_pallas import (
-    _bitonic_sort_desc, topk_sparse, topk_sparse_reference)
+    _bitonic_sort_desc, topk_sparse, topk_sparse_reference, topk_sparse_xla)
+
+
+def _pallas(s, k, thresh, slots, **kw):
+    return topk_sparse(s, k, thresh, slots=slots, interpret=True)
+
+
+def _xla(s, k, thresh, slots, **kw):
+    return topk_sparse_xla(s, k, thresh, slots=slots)
 
 
 def _sparse_scores(rng, p, a, frac, thresh=1e-3):
@@ -45,14 +53,15 @@ def test_bitonic_sort_tie_break_by_index():
         np.asarray(sk), [[2.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.0]])
 
 
+@pytest.mark.parametrize("impl", [_pallas, _xla])
 @pytest.mark.parametrize("seed,frac", [(0, 0.001), (1, 0.01), (2, 0.0)])
-def test_topk_sparse_matches_topk_above_threshold(seed, frac):
+def test_topk_sparse_matches_topk_above_threshold(seed, frac, impl):
     rng = np.random.default_rng(seed)
     thresh = 1e-3
     scores = _sparse_scores(rng, 24, 700, frac, thresh)
     k = 96
     sc, idx = jax.jit(
-        lambda s: topk_sparse(s, k, thresh, slots=4, interpret=True)
+        lambda s: impl(s, k, thresh, slots=4)
     )(jnp.asarray(scores))
     sc, idx = np.asarray(sc), np.asarray(idx)
     ref_sc, ref_idx = topk_sparse_reference(scores, k, thresh)
@@ -70,44 +79,46 @@ def test_topk_sparse_matches_topk_above_threshold(seed, frac):
     np.testing.assert_array_equal(idx[live], np.asarray(t_idx)[live])
 
 
-def test_topk_sparse_overflow_falls_back_to_dense():
+@pytest.mark.parametrize("impl", [_pallas, _xla])
+def test_topk_sparse_overflow_falls_back_to_dense(impl):
     """Dense scores (every chunk has candidates) -> overflow -> results are
     exactly lax.top_k, padding included."""
     rng = np.random.default_rng(3)
     scores = rng.random((10, 700)).astype(np.float32)  # all above 1e-3
     k = 64
     sc, idx = jax.jit(
-        lambda s: topk_sparse(s, k, 1e-3, slots=2, interpret=True)
+        lambda s: impl(s, k, 1e-3, slots=2)
     )(jnp.asarray(scores))
     t_sc, t_idx = jax.lax.top_k(jnp.asarray(scores), k)
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(t_sc))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(t_idx))
 
 
-def test_topk_sparse_batched_shape():
+@pytest.mark.parametrize("impl", [_pallas, _xla])
+def test_topk_sparse_batched_shape(impl):
     rng = np.random.default_rng(4)
     scores = _sparse_scores(rng, 6 * 5, 300, 0.01).reshape(6, 5, 300)
-    sc, idx = topk_sparse(jnp.asarray(scores), 32, 1e-3, slots=3,
-                          interpret=True)
+    sc, idx = impl(jnp.asarray(scores), 32, 1e-3, slots=3)
     assert sc.shape == (6, 5, 32) and idx.shape == (6, 5, 32)
     ref_sc, _ = topk_sparse_reference(scores, 32, 1e-3)
     live = ref_sc > -np.inf
     np.testing.assert_array_equal(np.asarray(sc)[live], ref_sc[live])
 
 
-def test_topk_sparse_k_capacity_guard():
+@pytest.mark.parametrize("impl", [_pallas, _xla])
+def test_topk_sparse_k_capacity_guard(impl):
     with pytest.raises(ValueError, match="capacity"):
-        topk_sparse(jnp.zeros((4, 300)), 300, 1e-3, slots=2)
+        impl(jnp.zeros((4, 300)), 300, 1e-3, slots=2)
 
 
-def test_topk_sparse_exact_score_ties():
+@pytest.mark.parametrize("impl", [_pallas, _xla])
+def test_topk_sparse_exact_score_ties(impl):
     """Repeated identical scores across chunks: tie order = ascending
     anchor index, matching lax.top_k bit-for-bit."""
     scores = np.zeros((8, 512), np.float32)
     scores[:, [5, 200, 139, 260, 391]] = 0.25  # same value, several chunks
     scores[:, 300] = 0.5
-    sc, idx = topk_sparse(jnp.asarray(scores), 8, 1e-3, slots=6,
-                          interpret=True)
+    sc, idx = impl(jnp.asarray(scores), 8, 1e-3, slots=6)
     t_sc, t_idx = jax.lax.top_k(jnp.asarray(scores), 8)
     live = np.asarray(sc) > -np.inf
     np.testing.assert_array_equal(np.asarray(sc)[live],

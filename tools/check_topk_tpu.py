@@ -17,7 +17,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from demonet_tpu.ops.topk_pallas import topk_sparse  # noqa: E402
+from demonet_tpu.ops.topk_pallas import (  # noqa: E402
+    topk_sparse, topk_sparse_xla)
 
 THRESH = 1e-3
 
@@ -31,8 +32,8 @@ def sparse_scores(rng, p, a, frac):
     return base
 
 
-def check_case(name, scores, k, slots):
-    js = jax.jit(lambda s: topk_sparse(s, k, THRESH, slots=slots))
+def check_case(name, scores, k, slots, fn=topk_sparse):
+    js = jax.jit(lambda s: fn(s, k, THRESH, slots=slots))
     jt = jax.jit(lambda s: jax.lax.top_k(s, k))
     s = jnp.asarray(scores)
     got_sc, got_idx = jax.device_get(js(s))
@@ -50,10 +51,12 @@ def check_case(name, scores, k, slots):
 
 
 def bench(name, scores, k, slots, iters=30):
+    jx = jax.jit(lambda s: topk_sparse_xla(s, k, THRESH, slots=slots))
     js = jax.jit(lambda s: topk_sparse(s, k, THRESH, slots=slots))
     jt = jax.jit(lambda s: jax.lax.top_k(s, k))
     bufs = [jnp.asarray(scores + i * 1e-9) for i in range(3)]
-    for f, label in ((js, "sparse"), (jt, "lax.top_k")):
+    for f, label in ((jx, "sparse_xla"), (js, "sparse_pallas"),
+                     (jt, "lax.top_k")):
         out = f(bufs[0])
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
         t0 = time.perf_counter()
@@ -73,6 +76,8 @@ def main() -> int:
     # trained-model sparsity: ~0.05% anchors above threshold
     tr = sparse_scores(rng, b * c, a, 0.0005).reshape(b, c, a)
     ok &= check_case("trained-sparsity (64,90,3234)", tr, 300, 8)
+    ok &= check_case("trained-sparsity XLA variant", tr, 300, 8,
+                     fn=topk_sparse_xla)
 
     # adversarial: exact ties across chunks, boundary values
     adv = np.zeros((8, 90, a), np.float32)
@@ -81,6 +86,8 @@ def main() -> int:
     adv[:, 7, 128] = THRESH          # exactly at threshold: excluded
     adv[:, 7, 129] = np.nextafter(np.float32(THRESH), np.float32(1))
     ok &= check_case("adversarial ties/boundary", adv, 300, 8)
+    ok &= check_case("adversarial ties/boundary XLA", adv, 300, 8,
+                     fn=topk_sparse_xla)
 
     # dense scores: overflow -> fallback must be exact top_k everywhere
     dn = rng.random((4, 90, a)).astype(np.float32)
