@@ -30,8 +30,15 @@ def make_predict_step(
     mesh: Optional[Mesh] = None,
     nms_impl: str = "auto",
     topk_impl: str = "exact",
+    impl: str = "reference",
 ) -> Callable:
-    """Jitted (variables, images, original_sizes) -> padded detections."""
+    """Jitted (variables, images, original_sizes) -> padded detections.
+
+    impl="fused" selects the trained-model fast postprocess (per-image
+    chunk-gather candidate selection + single class-offset NMS, see
+    models/detection.py) with an exactness-guarded fallback to the
+    reference pipeline.
+    """
     anchors = jnp.asarray(detector.anchors)
     config = detector.config
 
@@ -40,7 +47,8 @@ def make_predict_step(
         outputs = detector.model.apply(variables, x, train=False)
         return postprocess_detections(
             outputs["cls_logits"], outputs["bbox_regression"], anchors,
-            config, original_sizes, nms_impl=nms_impl, topk_impl=topk_impl)
+            config, original_sizes, nms_impl=nms_impl, topk_impl=topk_impl,
+            impl=impl)
 
     if mesh is None:
         return jax.jit(step)

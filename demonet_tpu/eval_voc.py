@@ -66,16 +66,9 @@ def main(args) -> None:
             args.arch, path=args.torch_weights or None)
         print(f"loaded pretrained weights for {args.arch}")
     elif args.checkpoint:
-        from demonet_tpu.engine.state import TrainState
-        from demonet_tpu.utils.checkpoints import load_checkpoint
-        import optax
+        from demonet_tpu.utils.checkpoints import load_variables
 
-        abstract = TrainState.create(
-            apply_fn=None, params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            tx=optax.sgd(0.0))
-        state, _, _ = load_checkpoint(args.checkpoint, abstract)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = load_variables(args.checkpoint)
 
     loader = DetectionLoader(
         dataset, args.batch_size, image_size=size,

@@ -77,16 +77,9 @@ def main(args) -> None:
         variables = convert_state_dict(args.model, sd)
         print(f"loaded torch weights from {args.torch_weights}")
     elif args.checkpoint:
-        import optax
+        from demonet_tpu.utils.checkpoints import load_variables
 
-        from demonet_tpu.engine.state import TrainState
-        from demonet_tpu.utils.checkpoints import load_checkpoint
-
-        abstract = TrainState.create(
-            apply_fn=None, params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}), tx=optax.sgd(0.0))
-        state, _, _ = load_checkpoint(args.checkpoint, abstract)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = load_variables(args.checkpoint)
         print(f"loaded checkpoint {args.checkpoint}")
 
     if args.format == "caffe":

@@ -54,18 +54,9 @@ def load(name: str, weights: Optional[str] = None, seed: int = 0,
             variables = convert_state_dict(
                 name, load_torch_checkpoint(weights))
         elif os.path.isdir(weights):
-            import optax
+            from demonet_tpu.utils.checkpoints import load_variables
 
-            from demonet_tpu.engine.state import TrainState
-            from demonet_tpu.utils.checkpoints import load_checkpoint
-
-            abstract = TrainState.create(
-                apply_fn=None, params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}),
-                tx=optax.sgd(0.0))
-            state, _, _ = load_checkpoint(weights, abstract)
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
+            variables = load_variables(weights)
         else:
             raise ValueError(f"unrecognized weights source {weights!r}")
     return model, variables

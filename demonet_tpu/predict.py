@@ -27,6 +27,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                    help="published checkpoint from the weights cache "
                         "(utils/pretrained.py)")
     p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--postprocess", default="reference",
+                   choices=["reference", "fused"],
+                   help="'fused' = trained-model fast postprocess "
+                        "(chunk-gather select + one NMS/image, exactness-"
+                        "guarded fallback)")
     p.add_argument("--score-thresh", default=0.5, type=float)
     p.add_argument("--output-dir", default="predictions")
     return p
@@ -56,18 +61,11 @@ def main(args) -> None:
         variables = load_pretrained_variables(
             args.model, path=args.torch_weights or None)
     elif args.checkpoint:
-        import optax
+        from demonet_tpu.utils.checkpoints import load_variables
 
-        from demonet_tpu.engine.state import TrainState
-        from demonet_tpu.utils.checkpoints import load_checkpoint
+        variables = load_variables(args.checkpoint)
 
-        abstract = TrainState.create(
-            apply_fn=None, params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}), tx=optax.sgd(0.0))
-        state, _, _ = load_checkpoint(args.checkpoint, abstract)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-    predict = make_predict_step(detector)
+    predict = make_predict_step(detector, impl=args.postprocess)
     size = detector.config.size
     os.makedirs(args.output_dir, exist_ok=True)
 

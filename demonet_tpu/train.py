@@ -59,6 +59,14 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--trainable-backbone-layers", default=None, type=int,
                         help="stages to train from the top (0..6); None = all"
                              " (reference train.py flag semantics)")
+    parser.add_argument("--lane-pack", dest="lane_pack", action="store_true",
+                        help="run the early trunk in the lane-packed layout "
+                             "(ops/lane_pack.py) — training-throughput knob, "
+                             "identical math (ssdlite320_mobilenet_v3_large)")
+    parser.add_argument("--postprocess", default="reference",
+                        choices=["reference", "fused"],
+                        help="eval postprocess: 'fused' = trained-model fast "
+                             "path (chunk-gather select + one NMS/image)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize activations (jax.checkpoint)")
     parser.add_argument("--test-only", dest="test_only", action="store_true")
@@ -143,7 +151,10 @@ def main(args) -> None:
     num_classes = args.num_classes or default_classes
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    detector = get_model(args.model, num_classes=num_classes, dtype=dtype)
+    model_kw = dict(num_classes=num_classes, dtype=dtype)
+    if getattr(args, "lane_pack", False):
+        model_kw["lane_pack"] = True  # builders without the knob raise
+    detector = get_model(args.model, **model_kw)
     size = detector.config.size
 
     loader_kw = dict(
@@ -194,7 +205,8 @@ def main(args) -> None:
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
     train_step = make_train_step(detector, mesh=mesh, remat=args.remat)
-    predict_step = make_predict_step(detector, mesh=mesh)
+    predict_step = make_predict_step(
+        detector, mesh=mesh, impl=getattr(args, "postprocess", "reference"))
 
     if args.test_only:
         evaluate(predict_step, state, val_loader, make_evaluator(args, ds_val),

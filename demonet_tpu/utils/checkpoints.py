@@ -43,7 +43,7 @@ def load_checkpoint(path: str, abstract_state: Any) -> Tuple[Any, int, Dict]:
     """Restore (state, epoch, metadata). `abstract_state` provides the tree
     structure/shapes (e.g. a freshly created TrainState)."""
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, {"state": abstract_state})
+    restored = ckptr.restore(os.path.abspath(path), {"state": abstract_state})
     meta_path = path + ".meta.json"
     epoch, metadata = 0, {}
     if os.path.exists(meta_path):
@@ -51,6 +51,21 @@ def load_checkpoint(path: str, abstract_state: Any) -> Tuple[Any, int, Dict]:
             side = json.load(f)
         epoch, metadata = int(side.get("epoch", 0)), side.get("metadata", {})
     return restored["state"], epoch, metadata
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    """Restore only inference variables {params, batch_stats} from a
+    training checkpoint, independent of the optimizer it was trained with.
+
+    The inference CLIs (predict/export/hub/eval_voc) must accept checkpoints
+    from ANY training configuration; a structural TrainState restore would
+    require reconstructing the exact optax tree (momentum/weight-decay/
+    masked), so restore the raw pytree and keep the model subtrees.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))["state"]
+    return {"params": state["params"],
+            "batch_stats": state.get("batch_stats") or {}}
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

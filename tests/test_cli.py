@@ -29,6 +29,40 @@ def test_train_parser_flags():
     assert args.resume == "x" and args.batch_size == 8 and args.bf16
 
 
+def test_train_parser_perf_knobs():
+    from demonet_tpu.train import get_args_parser
+
+    args = get_args_parser().parse_args([])
+    assert not args.lane_pack and args.postprocess == "reference"
+    args = get_args_parser().parse_args(["--lane-pack",
+                                         "--postprocess", "fused"])
+    assert args.lane_pack and args.postprocess == "fused"
+
+
+def test_train_cli_lane_pack_fused_wiring(tmp_path, monkeypatch):
+    """--lane-pack reaches get_model and --postprocess fused reaches the
+    eval predict step; the test-only path runs end-to-end with both."""
+    import demonet_tpu.models as models
+    from demonet_tpu import train as train_cli
+
+    orig = models.get_model
+    seen = {}
+
+    def small_get_model(name, **kw):
+        seen.update(kw)
+        kw.setdefault("size", (64, 64))
+        return orig(name, **kw)
+
+    monkeypatch.setattr("demonet_tpu.models.get_model", small_get_model)
+    args = train_cli.get_args_parser().parse_args([
+        "--dataset", "synthetic", "--synthetic-size", "8",
+        "--num-classes", "5", "--batch-size", "8", "--test-only",
+        "--lane-pack", "--postprocess", "fused",
+        "--output-dir", str(tmp_path)])
+    train_cli.main(args)
+    assert seen.get("lane_pack") is True
+
+
 def test_eval_voc_parser():
     from demonet_tpu.eval_voc import get_args_parser
 

@@ -2,6 +2,8 @@
 train steps (loss decreases on an overfit mini-set), evaluation loop with the
 COCO evaluator, checkpoint save/resume, multi-device sharded step."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -128,6 +130,31 @@ def test_checkpoint_resume(setup, tmp_path):
     old = jax.tree_util.tree_leaves(state.params)[0]
     new = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_load_variables_any_optimizer(setup, tmp_path):
+    """Inference-side loads must accept checkpoints from ANY training
+    optimizer: a momentum+weight-decay TrainState's opt_state does not
+    match the sgd(0.0) abstract tree the CLIs used to build (the bug that
+    made predict/export/hub/eval_voc reject real training checkpoints)."""
+    det, _ = setup
+    from demonet_tpu.utils.checkpoints import load_variables, save_checkpoint
+
+    tx = make_optimizer(make_lr_schedule(0.02, steps_per_epoch=10),
+                        momentum=0.9, weight_decay=1e-4)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    save_checkpoint(str(tmp_path), jax.device_get(state), epoch=0)
+    # relative path must work too (CLI users pass runs/... paths)
+    rel = os.path.relpath(str(tmp_path / "checkpoint_0"))
+    variables = load_variables(rel)
+    assert set(variables) == {"params", "batch_stats"}
+    old = jax.tree_util.tree_leaves(state.params)[0]
+    new = jax.tree_util.tree_leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    # the restored variables drive a forward pass unchanged
+    x = jnp.zeros((1,) + tuple(det.config.size) + (3,))
+    out = det.model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()
 
 
 def test_sharded_train_step(setup):

@@ -34,3 +34,13 @@ def test_predict_cli_main(tmp_path, monkeypatch):
     assert os.path.exists(out_path)
     out = np.asarray(Image.open(out_path))
     assert out.shape == (50, 70, 3)  # visualization in the original frame
+
+    # --postprocess fused routes through the trained-model fast path
+    # (exactness-guarded, lax.cond fallback) and must produce output too
+    fused_dir = str(tmp_path / "vis_fused")
+    args = get_args_parser().parse_args([
+        "--images", img_path, "--num-classes", "5",
+        "--score-thresh", "0.0", "--output-dir", fused_dir,
+        "--postprocess", "fused"])
+    main(args)
+    assert os.path.exists(os.path.join(fused_dir, "in.jpg"))
