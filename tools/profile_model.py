@@ -27,7 +27,12 @@ def main(args) -> int:
         make_predict_step, make_train_step)
     from demonet_tpu.models import get_model
 
-    det = get_model(args.model, num_classes=args.num_classes)
+    model_kw = {}
+    if args.bf16:
+        model_kw["dtype"] = jnp.bfloat16
+    if args.lane_pack:
+        model_kw["lane_pack"] = True
+    det = get_model(args.model, num_classes=args.num_classes, **model_kw)
     variables = det.init(jax.random.PRNGKey(0))
     b = args.batch_size
     h, w = det.config.size
@@ -69,6 +74,8 @@ if __name__ == "__main__":
     p.add_argument("--num-classes", type=int, default=91)
     p.add_argument("--mode", choices=["predict", "train"], default="predict")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--lane-pack", dest="lane_pack", action="store_true")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--logdir", default="/tmp/demonet_trace")
     sys.exit(main(p.parse_args()))
