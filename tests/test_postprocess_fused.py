@@ -112,6 +112,35 @@ def test_fused_no_detections_at_all():
     _assert_equal(ref, fused)
 
 
+@pytest.mark.parametrize("name", [
+    "ssdlite320_mobilenet_v3_large", "ssd300_vgg16", "pelee304",
+    "ssd_lite_mobilenet_v2"])
+def test_fused_equals_reference_real_family_configs(name):
+    """The fused path is family-generic: exact equality against the
+    reference pipeline at each builder's REAL config + anchor grid
+    (anchor counts 2,976-8,732, thresholds 0.001-0.5, 21/91 classes)."""
+    from demonet_tpu.models import get_model
+
+    det = get_model(name)
+    cfg, anchors = det.config, jnp.asarray(det.anchors)
+    a, c = anchors.shape[0], cfg.num_classes
+    rng = np.random.default_rng(hash(name) % 2**32)
+    b = 2
+    logits = np.zeros((b, a, c), np.float32)
+    logits[:, :, 0] = 8.0
+    # sparse confident spikes incl. same-class overlapping runs so NMS fires
+    for bi in range(b):
+        for _ in range(8):
+            logits[bi, rng.integers(0, a), rng.integers(1, c)] = 12.0
+        base = int(rng.integers(0, a - 6))
+        logits[bi, base:base + 6, 1 + bi] = 11.0
+    deltas = jnp.asarray(rng.normal(0, 0.2, (b, a, 4)).astype(np.float32))
+    sizes = jnp.asarray([[480, 640], [333, 500]], jnp.float32)
+    ref, fused = _run_both(cfg, anchors, logits, deltas, sizes=sizes)
+    assert np.asarray(ref["valid"]).sum() > 0
+    _assert_equal(ref, fused)
+
+
 def test_fused_under_jit_and_tiny_capacity():
     """d > candidate width: outputs padded; jit-compiled path."""
     cfg, anchors, logits, deltas, rng = _setup(seed=6, a=40, c=3)
