@@ -145,6 +145,48 @@ def main() -> None:
         trained["trained_weights"] = "round-3 shapes-corpus checkpoint "\
             "(real multi-epoch training run; see runs/ logs + TRAINRUN.md)"
 
+    # training throughput, headline config: bf16 + lane-packed early trunk,
+    # 8 optimizer steps per dispatch (engine/train.py steps_per_call —
+    # amortizes per-step host dispatch; DESIGN.md "Multi-step dispatch")
+    train = {}
+    try:
+        from demonet_tpu.engine import (
+            create_train_state, make_lr_schedule, make_optimizer,
+            make_train_step)
+        from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+
+        spc = 8
+        tdet = ssdlite320_mobilenet_v3_large(
+            num_classes=91, dtype=jnp.bfloat16, lane_pack=True)
+        tstate = create_train_state(
+            tdet, jax.random.PRNGKey(0),
+            make_optimizer(make_lr_schedule(0.02, 100)))
+        tstep = make_train_step(tdet, steps_per_call=spc)
+        tb = {
+            "images": jnp.asarray(
+                rng.random((spc, BATCH, 320, 320, 3), np.float32)),
+            "gt_boxes": jnp.tile(jnp.asarray(
+                [[[[20.0, 20.0, 120.0, 120.0]]]]), (spc, BATCH, 1, 1)),
+            "gt_labels": jnp.full((spc, BATCH, 1), 1, jnp.int32),
+            "gt_valid": jnp.ones((spc, BATCH, 1), bool),
+        }
+        tstate, _ = tstep(tstate, tb)  # compile
+        _sync(tstate.params)
+        for _ in range(2):
+            tstate, _ = tstep(tstate, tb)
+        _sync(tstate.params)
+        t0 = time.perf_counter()
+        t_iters = 8
+        for _ in range(t_iters):
+            tstate, _ = tstep(tstate, tb)
+        _sync(tstate.params)
+        step_ms = (time.perf_counter() - t0) / (t_iters * spc) * 1000.0
+        train["train_bf16_lanepack_spc8_ms_per_step"] = round(step_ms, 2)
+        train["train_bf16_lanepack_spc8_img_s"] = round(
+            BATCH / step_ms * 1000.0, 1)
+    except Exception as e:  # keep the bench line emitting on any failure
+        train["train_bench_error"] = repr(e)[:200]
+
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
         try:
@@ -174,6 +216,7 @@ def main() -> None:
         "input": "fixed-seed random images",
         "device": str(jax.devices()[0]),
         **trained,
+        **train,
     }))
 
 

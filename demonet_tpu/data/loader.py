@@ -4,7 +4,10 @@ The reference pipeline is DataLoader + tuple(zip(*batch)) list-collation +
 GroupedBatchSampler (train.py:123-144, util/misc.py:235). On TPU ragged
 batches are an anti-pattern: every batch here is a dense fixed-shape dict
 
-    images          (B, H, W, 3) float32 in [0, 1], resized to the model size
+    images          (B, H, W, 3) float32 in [0, 1] (or uint8 0..255 with
+                    image_dtype="uint8" — 4x cheaper H2D transfer, rescaled
+                    on device by models/detection.py::preprocess), resized
+                    to the model size
     gt_boxes        (B, MAX_GT, 4) xyxy in resized coords, zero-padded
     gt_labels       (B, MAX_GT) int32, zero-padded
     gt_valid        (B, MAX_GT) bool
@@ -58,7 +61,8 @@ def _rng_aware(dataset) -> bool:
 
 
 def _load_one(dataset, ds_idx: int, image_size: Tuple[int, int],
-              rng: Optional[np.random.Generator], rng_aware: bool):
+              rng: Optional[np.random.Generator], rng_aware: bool,
+              image_dtype=np.float32):
     import cv2
 
     if rng_aware and rng is not None:
@@ -83,7 +87,14 @@ def _load_one(dataset, ds_idx: int, image_size: Tuple[int, int],
                 target["keypoints"], nw / w, nh / h)
         if updates:
             target = dict(target, **updates)
-    if img.dtype != np.float32:
+    if image_dtype == np.uint8:
+        if img.dtype != np.uint8:
+            # quantize augmented floats back to 8-bit: the H2D transfer then
+            # ships 1/4 the bytes and the device rescales to [0,1] in-step
+            # (models/detection.py::preprocess). ±0.5/255 quantization on
+            # pixel values — the same granularity the JPEG source had.
+            img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    elif img.dtype != np.float32:
         # single-pass uint8 -> [0,1] float32 (no intermediate float copy)
         img = np.multiply(img, np.float32(1.0 / 255.0), dtype=np.float32)
     return img, target, (h, w)
@@ -93,8 +104,8 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
                     image_size: Tuple[int, int], max_gt: int, seed: int,
                     epoch: int, rng_aware: bool,
                     images_out: Optional[np.ndarray] = None,
-                    max_kp: int = 0, with_masks: bool = False
-                    ) -> Dict[str, np.ndarray]:
+                    max_kp: int = 0, with_masks: bool = False,
+                    image_dtype=np.float32) -> Dict[str, np.ndarray]:
     """Assemble one fixed-shape batch. If images_out is given (a shared-
     memory slab slot), images are written there and omitted from the
     returned dict.
@@ -107,9 +118,9 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
     b, g = batch_size, max_gt
     nh, nw = image_size
     images = images_out if images_out is not None \
-        else np.zeros((b, nh, nw, 3), np.float32)
+        else np.zeros((b, nh, nw, 3), image_dtype)
     if images_out is not None:
-        images[:] = 0.0
+        images[:] = 0
     out = {
         "gt_boxes": np.zeros((b, g, 4), np.float32),
         "gt_labels": np.zeros((b, g), np.int32),
@@ -125,7 +136,8 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
     for i, ds_idx in enumerate(ds_indices):
         rng = _sample_rng(seed, epoch, int(ds_idx))
         img, target, (h, w) = _load_one(
-            dataset, ds_idx, image_size, rng, rng_aware)
+            dataset, ds_idx, image_size, rng, rng_aware,
+            image_dtype=image_dtype)
         images[i] = img
         boxes = np.asarray(target.get("boxes", np.zeros((0, 4))))
         labels = np.asarray(target.get("labels", np.zeros((0,))))
@@ -157,12 +169,12 @@ def _assemble_batch(dataset, ds_indices: np.ndarray, batch_size: int,
 
 def _worker_main(dataset, batch_size, image_size, max_gt, seed, rng_aware,
                  shm_name, n_slots, task_q, result_q,
-                 max_kp=0, with_masks=False):
+                 max_kp=0, with_masks=False, image_dtype=np.float32):
     """Process-pool worker: assembles batches into shared-memory slots."""
     shm = shared_memory.SharedMemory(name=shm_name)
     try:
         nh, nw = image_size
-        slab = np.ndarray((n_slots, batch_size, nh, nw, 3), np.float32,
+        slab = np.ndarray((n_slots, batch_size, nh, nw, 3), image_dtype,
                           buffer=shm.buf)
         while True:
             task = task_q.get()
@@ -173,7 +185,8 @@ def _worker_main(dataset, batch_size, image_size, max_gt, seed, rng_aware,
                 meta = _assemble_batch(
                     dataset, indices, batch_size, image_size, max_gt, seed,
                     epoch, rng_aware, images_out=slab[slot],
-                    max_kp=max_kp, with_masks=with_masks)
+                    max_kp=max_kp, with_masks=with_masks,
+                    image_dtype=image_dtype)
                 result_q.put((seq, slot, meta, None))
             except BaseException as e:  # surface worker errors to the main loop
                 result_q.put((seq, slot, None, repr(e)))
@@ -203,12 +216,18 @@ class DetectionLoader:
         num_workers: int = 0,
         max_kp: int = 0,
         with_masks: bool = False,
+        image_dtype="float32",
     ):
         self.dataset = dataset
         # opt-in padded instance targets: gt_keypoints (B, G, max_kp, 3)
         # and gt_masks (B, G, H, W) — see _assemble_batch
         self.max_kp = max_kp
         self.with_masks = with_masks
+        # "uint8" ships quantized 8-bit images (1/4 the H2D bytes; the
+        # jitted step rescales on device — detection.py::preprocess)
+        self.image_dtype = np.dtype(image_dtype).type
+        if self.image_dtype not in (np.float32, np.uint8):
+            raise ValueError("image_dtype must be float32 or uint8")
         self.batch_size = batch_size
         self.image_size = image_size
         self.shuffle = shuffle
@@ -293,7 +312,8 @@ class DetectionLoader:
         return _assemble_batch(
             self.dataset, ds_indices, self.batch_size, self.image_size,
             self.max_gt, self.seed, self.epoch, self._rng_aware,
-            max_kp=self.max_kp, with_masks=self.with_masks)
+            max_kp=self.max_kp, with_masks=self.with_masks,
+            image_dtype=self.image_dtype)
 
     def _assemble_native(self, ds_indices: np.ndarray) -> Dict[str, np.ndarray]:
         """Batch decode+resize in C++ (one call), targets from metadata."""
@@ -311,7 +331,7 @@ class DetectionLoader:
             blobs, nh, nw, self.native_threads)
 
         out = {
-            "images": np.zeros((b, nh, nw, 3), np.float32),
+            "images": np.zeros((b, nh, nw, 3), self.image_dtype),
             "gt_boxes": np.zeros((b, g, 4), np.float32),
             "gt_labels": np.zeros((b, g), np.int32),
             "gt_valid": np.zeros((b, g), bool),
@@ -320,6 +340,8 @@ class DetectionLoader:
             "batch_valid": np.zeros((b,), bool),
         }
         n = len(ds_indices)
+        if self.image_dtype == np.uint8 and images.dtype != np.uint8:
+            images = np.clip(np.rint(images * 255.0), 0, 255).astype(np.uint8)
         out["images"][:n] = images
         out["original_sizes"][:n] = hw
         for i, target in enumerate(targets):
@@ -398,7 +420,8 @@ class DetectionLoader:
         """
         nh, nw = self.image_size
         n_slots = self.num_workers + max(1, self.prefetch)
-        slot_bytes = self.batch_size * nh * nw * 3 * 4
+        itemsize = np.dtype(self.image_dtype).itemsize
+        slot_bytes = self.batch_size * nh * nw * 3 * itemsize
         ctx = multiprocessing.get_context("spawn")
         shm = shared_memory.SharedMemory(create=True,
                                          size=n_slots * slot_bytes)
@@ -410,14 +433,14 @@ class DetectionLoader:
                 args=(self.dataset, self.batch_size, self.image_size,
                       self.max_gt, self.seed, self._rng_aware, shm.name,
                       n_slots, task_q, result_q, self.max_kp,
-                      self.with_masks),
+                      self.with_masks, self.image_dtype),
                 daemon=True)
             for _ in range(self.num_workers)]
         for w in workers:
             w.start()
 
-        slab = np.ndarray((n_slots, self.batch_size, nh, nw, 3), np.float32,
-                          buffer=shm.buf)
+        slab = np.ndarray((n_slots, self.batch_size, nh, nw, 3),
+                          self.image_dtype, buffer=shm.buf)
         try:
             batches = iter(self._batch_indices())
             free_slots = list(range(n_slots))

@@ -86,7 +86,13 @@ def preprocess(
     Matches reference GeneralizedRCNNTransform.normalize/resize
     (transform.py:129-173) with fixed_size semantics: bilinear,
     half-pixel centers (= torch align_corners=False).
+
+    uint8 input is accepted and scaled to [0,1] on device first — the
+    host→device transfer then carries 1/4 the bytes (loader
+    image_dtype="uint8"); the reference always ships float tensors.
     """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     mean = jnp.asarray(config.image_mean, images.dtype)
     std = jnp.asarray(config.image_std, images.dtype)
     x = (images - mean) / std

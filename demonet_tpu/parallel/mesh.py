@@ -46,14 +46,20 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
     """Device-put a pytree of host arrays with batch-axis sharding.
 
     Single-process: a plain device_put. Multi-process: each host holds only
     its LOCAL batch rows (the loader shards by process), so the global array
     is assembled with make_array_from_process_local_data — the analogue of
-    DDP's per-rank batches feeding one logical step."""
-    sharding = batch_sharding(mesh)
+    DDP's per-rank batches feeding one logical step.
+
+    axis selects which dimension is the batch axis (axis=1 for the
+    K-stacked multi-step windows of make_train_step(steps_per_call=K))."""
+    if axis == 0:
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = NamedSharding(mesh, P(*([None] * axis), "data"))
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(

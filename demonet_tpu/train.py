@@ -69,6 +69,16 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                              "path (chunk-gather select + one NMS/image)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize activations (jax.checkpoint)")
+    parser.add_argument("--steps-per-call", default=1, type=int,
+                        help="optimizer steps per device dispatch: K batches "
+                             "are stacked and run as one lax.scan program, "
+                             "amortizing per-step host dispatch latency "
+                             "(metrics/abort/checkpoint semantics unchanged)")
+    parser.add_argument("--u8-transfer", dest="u8_transfer",
+                        action="store_true",
+                        help="ship images host->device as uint8 (1/4 the "
+                             "bytes) and rescale to [0,1] on device; "
+                             "quantizes augmented pixels to 8-bit")
     parser.add_argument("--test-only", dest="test_only", action="store_true")
     parser.add_argument("--pretrained", action="store_true",
                         help="start from the published reference checkpoint "
@@ -160,7 +170,9 @@ def main(args) -> None:
     loader_kw = dict(
         image_size=size, max_gt=args.max_gt, seed=args.seed,
         num_workers=args.num_workers,
-        num_shards=jax.process_count(), shard_index=jax.process_index())
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        image_dtype="uint8" if getattr(args, "u8_transfer", False)
+        else "float32")
     batch_sampler = None
     if args.aspect_ratio_group_factor >= 0:
         from demonet_tpu.data.group_by_aspect_ratio import (
@@ -205,6 +217,10 @@ def main(args) -> None:
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
     train_step = make_train_step(detector, mesh=mesh, remat=args.remat)
+    spc = max(1, getattr(args, "steps_per_call", 1))
+    multi_step = make_train_step(
+        detector, mesh=mesh, remat=args.remat,
+        steps_per_call=spc) if spc > 1 else None
     predict_step = make_predict_step(
         detector, mesh=mesh, impl=getattr(args, "postprocess", "reference"))
 
@@ -224,7 +240,8 @@ def main(args) -> None:
         state = train_one_epoch(
             train_step, state, train_loader, epoch,
             print_freq=args.print_freq, lr_schedule=schedule, mesh=mesh,
-            metrics_writer=writer)
+            metrics_writer=writer, multi_step=multi_step,
+            steps_per_call=spc)
         if args.output_dir:
             save_checkpoint(args.output_dir, jax.device_get(state), epoch,
                             metadata={"args": vars(args)})

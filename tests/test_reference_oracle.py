@@ -337,3 +337,92 @@ def test_encode_boxes_free_function_matches_reference(ref_utils):
         torch.from_numpy(gt), torch.from_numpy(anchors), w).numpy()
     got = np.asarray(encode_boxes(gt, anchors))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DefaultBoxGenerator (reference anchor_utils.py:10-126, torch-only deps)
+# vs models/anchors.py::default_boxes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_anchors():
+    if "torchvision.models.detection.image_list" not in sys.modules:
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        det = types.ModuleType("torchvision.models.detection")
+        il = types.ModuleType("torchvision.models.detection.image_list")
+
+        class ImageList:
+            def __init__(self, tensors, image_sizes):
+                self.tensors = tensors
+                self.image_sizes = image_sizes
+
+        il.ImageList = ImageList
+        tv.models = models
+        models.detection = det
+        det.image_list = il
+        sys.modules.setdefault("torchvision", tv)
+        sys.modules.update({
+            "torchvision.models": models,
+            "torchvision.models.detection": det,
+            "torchvision.models.detection.image_list": il,
+        })
+    return _load_ref(f"{REF}/models/anchor_utils.py", "ref_anchor_utils")
+
+
+def _ref_default_boxes(ref_anchors, grid_sizes, image_size, aspect_ratios,
+                       **kw):
+    gen = ref_anchors.DefaultBoxGenerator(aspect_ratios, **kw)
+    h, w = image_size
+    il = sys.modules["torchvision.models.detection.image_list"].ImageList(
+        torch.zeros((1, 3, h, w)), [(h, w)])
+    feats = [torch.zeros((1, 8, gh, gw)) for gh, gw in grid_sizes]
+    with torch.no_grad():
+        return gen(il, feats)[0].numpy()
+
+
+ANCHOR_CONFIGS = [
+    # the ssdlite320_mobilenet_v3_large builder config
+    # (reference ssd_mobilenetv3.py:202)
+    dict(grid_sizes=[(20, 20), (10, 10), (5, 5), (3, 3), (2, 2), (1, 1)],
+         image_size=(320, 320), aspect_ratios=[[2, 3]] * 6,
+         kw=dict(min_ratio=0.2, max_ratio=0.95)),
+    # the ssd300_vgg16 builder config (reference ssd_vgg16.py:196-198)
+    dict(grid_sizes=[(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)],
+         image_size=(300, 300),
+         aspect_ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+         kw=dict(scales=[0.07, 0.15, 0.33, 0.51, 0.69, 0.87, 1.05],
+                 steps=[8, 16, 32, 64, 100, 300])),
+    # non-square image, interpolated scales, no steps (the steps path is
+    # square-only: the reference assigns H-derived cell counts to the x
+    # axis for non-square inputs, anchor_utils.py:82 — all its shipped
+    # configs are square, so parity is only defined there)
+    dict(grid_sizes=[(10, 16), (5, 8), (3, 4)], image_size=(160, 256),
+         aspect_ratios=[[2], [2, 3], [3]],
+         kw=dict(min_ratio=0.1, max_ratio=0.8)),
+    # clip=False, single level
+    dict(grid_sizes=[(7, 7)], image_size=(224, 224), aspect_ratios=[[2]],
+         kw=dict(clip=False, min_ratio=0.3, max_ratio=0.7)),
+]
+
+
+@pytest.mark.parametrize("cfg", range(len(ANCHOR_CONFIGS)))
+def test_default_boxes_match_reference(ref_anchors, cfg):
+    from demonet_tpu.models.anchors import default_boxes
+
+    c = ANCHOR_CONFIGS[cfg]
+    ref = _ref_default_boxes(ref_anchors, c["grid_sizes"], c["image_size"],
+                             c["aspect_ratios"], **c["kw"])
+    got = default_boxes(c["grid_sizes"], c["image_size"], c["aspect_ratios"],
+                        **c["kw"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_num_anchors_per_location_matches_reference(ref_anchors):
+    from demonet_tpu.models.anchors import num_anchors_per_location
+
+    for ars in ([[2, 3]] * 6, [[2], [2, 3], [3]], [[2]]):
+        gen = ref_anchors.DefaultBoxGenerator(ars)
+        assert num_anchors_per_location(ars) == gen.num_anchors_per_location()

@@ -1,11 +1,22 @@
 #!/usr/bin/env python
 """Fused trained-model postprocess on real TPU: output equality with the
-reference pipeline on the ROUND-3 TRAINED weights + real val frames
-(bench assets), plus e2e b64 timings for both paths. Companion to
-tests/test_postprocess_fused.py (CPU equality on synthetic cases)."""
+reference pipeline plus e2e timings for both paths. Companion to
+tests/test_postprocess_fused.py (CPU equality on synthetic cases +
+every family's real config).
+
+Default: ssdlite320 with the ROUND-3 TRAINED weights + real val frames
+(bench assets) — realistic score sparsity. --model <other family> runs
+random weights + random frames (no trained checkpoint exists for those):
+equality still must hold (the fused path is exact-by-construction with a
+counted fallback), but the timing shows the dense-candidate regime.
+
+    python tools/check_fused_tpu.py                  # trained, b64 + b1
+    python tools/check_fused_tpu.py --model ssd300_vgg16
+"""
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -17,19 +28,31 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def main() -> int:
+def main(args) -> int:
     assert jax.default_backend() == "tpu", jax.default_backend()
-    from tools.export_bench_images import load_bench_images
-    from tools.export_bench_weights import load_bench_variables
-    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+    from demonet_tpu.models import get_model
     from demonet_tpu.models.detection import (
         postprocess_detections, preprocess)
 
-    det = ssdlite320_mobilenet_v3_large(num_classes=91)
-    v = jax.device_put(load_bench_variables(
-        "bench_assets/ssdlite320_shapes_trained.npz"))
-    arr = load_bench_images("bench_assets/val_images_320.npz", 192)
-    bufs = [jnp.asarray(arr[i * 64:(i + 1) * 64]) for i in range(3)]
+    det = get_model(args.model, num_classes=91)
+    h, w = det.config.size
+    trained = args.model == "ssdlite320_mobilenet_v3_large" and os.path.exists(
+        "bench_assets/ssdlite320_shapes_trained.npz")
+    if trained:
+        from tools.export_bench_images import load_bench_images
+        from tools.export_bench_weights import load_bench_variables
+
+        v = jax.device_put(load_bench_variables(
+            "bench_assets/ssdlite320_shapes_trained.npz"))
+        arr = load_bench_images("bench_assets/val_images_320.npz", 192)
+        print("weights: round-3 trained checkpoint; inputs: real val frames")
+    else:
+        v = jax.device_put(det.init(jax.random.PRNGKey(0)))
+        arr = np.random.default_rng(0).random((192, h, w, 3), np.float32)
+        print(f"weights: random init; inputs: random frames ({args.model})")
+    b = args.batch
+    n_bufs = max(2, min(3, len(arr) // b))
+    bufs = [jnp.asarray(arr[i * b:(i + 1) * b]) for i in range(n_bufs)]
     anchors = jnp.asarray(det.anchors)
 
     def fwd(impl):
@@ -62,21 +85,33 @@ def main() -> int:
         np.asarray(jax.device_get(
             jax.tree_util.tree_leaves(out)[0].ravel()[0]))
 
-    print("--- e2e b64 timing (trained weights, real frames) ---")
+    print(f"--- e2e b{b} timing ---")
     for f, label in ((jr, "reference"), (jf, "fused")):
         for i in range(3):
-            out = f(v, bufs[i % 3])
+            out = f(v, bufs[i % n_bufs])
         _sync(out)
         t0 = time.perf_counter()
-        for i in range(20):
-            out = f(v, bufs[i % 3])
+        for i in range(args.iters):
+            out = f(v, bufs[i % n_bufs])
         _sync(out)
-        dt = (time.perf_counter() - t0) / 20 * 1000
-        print(f"{label}: {dt:.2f} ms b64 ({64 / dt * 1000:.0f} img/s)")
+        dt = (time.perf_counter() - t0) / args.iters * 1000
+        print(f"{label}: pipelined {dt:.2f} ms/b ({b / dt * 1000:.0f} img/s)",
+              end="  ")
+        lats = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            _sync(f(v, bufs[i % n_bufs]))
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        print(f"blocking p50 {lats[len(lats) // 2] * 1000:.2f} ms")
 
     print("ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="ssdlite320_mobilenet_v3_large")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    sys.exit(main(p.parse_args()))
