@@ -95,6 +95,15 @@ def nms_keep_batch(
     """
     p, k, _ = boxes.shape
     k_pad = _round_up(max(k, 8), 8)
+    # Scoped VMEM per grid step scales with k_pad * chunk (5 f32 input
+    # blocks + bool out block + scratch), on top of the padded keep
+    # output XLA may place in VMEM. k_pad * chunk = 204,800
+    # (ssd300_vgg16: K=400 x 2,880 problems at chunk 512) measured 44 KB
+    # OVER the 16 MB scoped limit on v5e; 155,648 (ssdlite320: K=304 x
+    # 5,888) fits with headroom. Cap the product at 160,000 — existing
+    # verified configs keep their chunk, larger-K problem sets shrink it.
+    if k_pad * chunk > 160_000:
+        chunk = max(128, (160_000 // k_pad) // 128 * 128)
     p_pad = _round_up(max(p, chunk), chunk)
 
     neg = jnp.float32(min(score_threshold, -1e30))

@@ -51,3 +51,20 @@ def test_pallas_identical_boxes_chain():
     keep = np.asarray(nms_keep_batch(
         boxes, scores, 0.5, -1e29, chunk=128, interpret=True))
     assert keep[0].tolist() == [True] + [False] * 5
+
+
+def test_vmem_cap_shrinks_chunk_and_stays_exact():
+    """k_pad * chunk is capped at 160,000: K=400 problems at the default
+    chunk=512 exceeded the 16 MB scoped VMEM limit on the real chip by
+    44 KB (ssd300_vgg16's reference postprocess, K=400 x 2,880 problems).
+    Trigger the shrink branch cheaply in interpret mode — K=96 with an
+    oversized requested chunk (96*2048 > 160,000 -> chunk 1536) — and
+    pin bit-exactness vs the XLA reference. The real-shape run is
+    tools/check_fused_tpu.py --model ssd300_vgg16 on the chip."""
+    boxes, scores = _random_problems(7, 2, 96, 41)
+    keep_pallas = np.asarray(nms_keep_batch(
+        boxes, scores, 0.5, -1e29, chunk=2048, interpret=True))
+    ref = jax.vmap(functools.partial(
+        nms_mask, iou_threshold=0.5, score_threshold=-1e29))
+    keep_xla = np.asarray(ref(boxes, scores))
+    np.testing.assert_array_equal(keep_pallas, keep_xla)
