@@ -15,8 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# JAX_PLATFORMS alone does not demote plugin backends (the axon TPU plugin
-# registers regardless); jax_platform_name reliably makes CPU the default.
+# The env var alone is not enough when a TPU plugin's sitecustomize has
+# already imported jax at interpreter start: the jax_platforms config is
+# then frozen from the ORIGINAL environment (e.g. "tpu,cpu"), and
+# jax_platform_name only changes the default, so backends() still
+# INITIALIZES the TPU client — grabbing a single-client device and
+# failing the whole session if another process holds it. Updating the
+# jax_platforms config value is the authoritative override: backends()
+# then registers cpu only.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)
 

@@ -64,6 +64,11 @@ def main() -> None:
     if args.cpu:
         import jax
 
+        # jax_platforms is the authoritative override: with only
+        # jax_platform_name, backends() still INITIALIZES the TPU plugin
+        # client (frozen env JAX_PLATFORMS) — contending for the
+        # single-client device even though compute runs on CPU.
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_platform_name", "cpu")
     import jax
 

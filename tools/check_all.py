@@ -38,7 +38,8 @@ def main() -> None:
         run([sys.executable, "-m", "pytest", "tests/", "-q"], label="pytest")
 
     dryrun_code = (
-        "import jax; jax.config.update('jax_platform_name', 'cpu');"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "jax.config.update('jax_platform_name', 'cpu');"
         "from __graft_entry__ import dryrun_multichip;"
         "dryrun_multichip(8)")
     run([sys.executable, "-c", dryrun_code],

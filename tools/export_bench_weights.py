@@ -54,6 +54,7 @@ def load_bench_variables(path):
 
 def main():
     ckpt, out = sys.argv[1], sys.argv[2]
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
     from demonet_tpu.engine import make_lr_schedule, make_optimizer
     from demonet_tpu.engine.state import TrainState

@@ -31,6 +31,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def child(args) -> None:
     import jax
 
+    # jax_platforms (not just jax_platform_name) so the child never
+    # initializes the TPU plugin client — N children would otherwise all
+    # grab the single-client device tunnel.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
     sys.path.insert(0, REPO)
     import numpy as np
