@@ -113,8 +113,8 @@ def test_fused_no_detections_at_all():
 
 
 @pytest.mark.parametrize("name", [
-    "ssdlite320_mobilenet_v3_large", "ssd300_vgg16", "pelee304",
-    "ssd_lite_mobilenet_v2"])
+    "ssdlite320_mobilenet_v3_large", "ssd300_vgg16", "ssd512_vgg16",
+    "pelee304", "ssd_lite_mobilenet_v2"])
 def test_fused_equals_reference_real_family_configs(name):
     """The fused path is family-generic: exact equality against the
     reference pipeline at each builder's REAL config + anchor grid
