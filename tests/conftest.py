@@ -29,3 +29,10 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8
+
+# Guard against regressions: cpu must be the ONLY initialized backend —
+# if a TPU plugin client ever appears here, the suite is again holding
+# the single-client device for its whole run.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+assert list(_xb.backends().keys()) == ["cpu"], list(_xb.backends())

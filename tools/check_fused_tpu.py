@@ -11,7 +11,7 @@ equality still must hold (the fused path is exact-by-construction with a
 counted fallback), but the timing shows the dense-candidate regime.
 
     python tools/check_fused_tpu.py                  # trained, b64 + b1
-    python tools/check_fused_tpu.py --model ssd300_vgg16
+    python tools/check_fused_tpu.py --model ssd300_vgg16,pelee304
 """
 
 from __future__ import annotations
@@ -29,14 +29,25 @@ import numpy as np  # noqa: E402
 
 
 def main(args) -> int:
+    # --model accepts a comma-separated list: backend init through the
+    # device tunnel costs minutes, so verifying several families in one
+    # process amortizes the handshake.
+    rc = 0
+    for name in args.model.split(","):
+        print(f"=== {name} ===")
+        rc |= check_model(name, args)
+    return rc
+
+
+def check_model(model_name: str, args) -> int:
     assert jax.default_backend() == "tpu", jax.default_backend()
     from demonet_tpu.models import get_model
     from demonet_tpu.models.detection import (
         postprocess_detections, preprocess)
 
-    det = get_model(args.model, num_classes=91)
+    det = get_model(model_name, num_classes=91)
     h, w = det.config.size
-    trained = args.model == "ssdlite320_mobilenet_v3_large" and os.path.exists(
+    trained = model_name == "ssdlite320_mobilenet_v3_large" and os.path.exists(
         "bench_assets/ssdlite320_shapes_trained.npz")
     if trained:
         from tools.export_bench_images import load_bench_images
@@ -49,7 +60,7 @@ def main(args) -> int:
     else:
         v = jax.device_put(det.init(jax.random.PRNGKey(0)))
         arr = np.random.default_rng(0).random((192, h, w, 3), np.float32)
-        print(f"weights: random init; inputs: random frames ({args.model})")
+        print(f"weights: random init; inputs: random frames ({model_name})")
     b = args.batch
     n_bufs = max(2, min(3, len(arr) // b))
     bufs = [jnp.asarray(arr[i * b:(i + 1) * b]) for i in range(n_bufs)]
