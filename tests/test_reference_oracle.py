@@ -426,3 +426,165 @@ def test_num_anchors_per_location_matches_reference(ref_anchors):
     for ars in ([[2, 3]] * 6, [[2], [2, 3], [3]], [[2]]):
         gen = ref_anchors.DefaultBoxGenerator(ars)
         assert num_anchors_per_location(ars) == gen.num_anchors_per_location()
+
+
+# ---------------------------------------------------------------------------
+# SSD.compute_loss: the reference's FULL MultiBox training loss
+# (generalized_ssd.py:195-269 — smooth-L1 regression + CE with 3:1 hard
+# negative mining) executed unbound against models/losses.py::multibox_loss.
+# ---------------------------------------------------------------------------
+
+
+def _tv_box_iou(boxes1, boxes2):
+    """Pure-torch torchvision.ops.boxes.box_iou (the stub the reference's
+    matching step calls; formula identical to torchvision)."""
+    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
+    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+    lt = torch.max(boxes1[:, None, :2], boxes2[:, :2])
+    rb = torch.min(boxes1[:, None, 2:], boxes2[:, 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[:, :, 0] * wh[:, :, 1]
+    return inter / (area1[:, None] + area2 - inter)
+
+
+@pytest.fixture(scope="module")
+def ref_ssd(ref_utils, ref_anchors):
+    """Import the reference's generalized_ssd.py as a real package member
+    (so its relative imports resolve) under the torchvision stub set."""
+    import importlib
+
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "ops"):
+        tv.ops = sys.modules.get("torchvision.ops") or types.ModuleType(
+            "torchvision.ops")
+        sys.modules.setdefault("torchvision.ops", tv.ops)
+    boxes_mod = types.ModuleType("torchvision.ops.boxes")
+    boxes_mod.box_iou = _tv_box_iou
+    tv.ops.boxes = boxes_mod
+    sys.modules["torchvision.ops.boxes"] = boxes_mod
+    tv._is_tracing = lambda: False
+    det = sys.modules["torchvision.models.detection"]
+    rh = types.ModuleType("torchvision.models.detection.roi_heads")
+
+    def _unused(*a, **k):
+        raise NotImplementedError("paste_masks_in_image stub")
+
+    rh.paste_masks_in_image = _unused
+    det.roi_heads = rh
+    sys.modules["torchvision.models.detection.roi_heads"] = rh
+
+    pkg = types.ModuleType("ref_demonet_models")
+    pkg.__path__ = [f"{REF}/models"]
+    sys.modules["ref_demonet_models"] = pkg
+    return importlib.import_module("ref_demonet_models.generalized_ssd")
+
+
+def _ref_compute_loss(ref_ssd, ref_utils, logits, deltas, anchors,
+                      gt_boxes, gt_labels, matched):
+    """Unbound SSD.compute_loss with the builder-default coder/ratio
+    (generalized_ssd.py:174,201: weights (10,10,5,5), positive_fraction
+    0.25 -> neg_to_pos_ratio 3)."""
+    self_stub = types.SimpleNamespace(
+        box_coder=ref_utils.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0)),
+        neg_to_pos_ratio=3)
+    b = len(gt_boxes)
+    targets = [
+        {"boxes": torch.from_numpy(gt_boxes[i]),
+         "labels": torch.from_numpy(gt_labels[i]).long()}
+        for i in range(b)]
+    head_outputs = {
+        "bbox_regression": torch.from_numpy(deltas),
+        "cls_logits": torch.from_numpy(logits)}
+    anchors_l = [torch.from_numpy(anchors)] * b
+    matched_l = [torch.from_numpy(matched[i]).long() for i in range(b)]
+    with torch.no_grad():
+        out = ref_ssd.SSD.compute_loss(
+            self_stub, targets, head_outputs, anchors_l, matched_l)
+    return {k: float(v) for k, v in out.items()}
+
+
+def _our_loss(logits, deltas, anchors, gt_boxes, gt_labels, matched):
+    """multibox_loss on the zero-padded batched form of the same scene."""
+    from demonet_tpu.models.losses import multibox_loss
+
+    b = len(gt_boxes)
+    gmax = max(max(len(x) for x in gt_boxes), 1)
+    boxes_p = np.zeros((b, gmax, 4), np.float32)
+    labels_p = np.zeros((b, gmax), np.int32)
+    valid_p = np.zeros((b, gmax), bool)
+    for i, (bx, lb) in enumerate(zip(gt_boxes, gt_labels)):
+        boxes_p[i, :len(bx)] = bx
+        labels_p[i, :len(lb)] = lb
+        valid_p[i, :len(lb)] = True
+    out = multibox_loss(
+        logits, deltas, anchors, boxes_p, labels_p, valid_p,
+        matched_idxs=np.stack(matched))
+    return {k: float(v) for k, v in out.items()}
+
+
+def _rand_loss_scene(rng, b=3, a=256, c=11, zero_pos_image=False):
+    anchors = _rand_boxes(rng, a)
+    logits = rng.normal(0, 2, (b, a, c)).astype(np.float32)
+    deltas = rng.normal(0, 1, (b, a, 4)).astype(np.float32)
+    gt_boxes, gt_labels, matched = [], [], []
+    for i in range(b):
+        g = int(rng.integers(1, 6))
+        gt_boxes.append(_rand_boxes(rng, g))
+        gt_labels.append(rng.integers(1, c, g).astype(np.int32))
+        m = np.full(a, -1, np.int32)
+        if not (zero_pos_image and i == 0):
+            npos = int(rng.integers(1, a // 4))
+            pos = rng.choice(a, npos, replace=False)
+            m[pos] = rng.integers(0, g, npos)
+        matched.append(m)
+    return anchors, logits, deltas, gt_boxes, gt_labels, matched
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_multibox_loss_matches_reference(ref_ssd, ref_utils, seed):
+    """Identical matched_idxs into both stacks -> identical loss dict
+    (continuous random logits: no CE ties at the negative-mining cutoff)."""
+    rng = np.random.default_rng(500 + seed)
+    anchors, logits, deltas, gtb, gtl, m = _rand_loss_scene(
+        rng, zero_pos_image=bool(seed % 2))
+    ref = _ref_compute_loss(ref_ssd, ref_utils, logits, deltas, anchors,
+                            gtb, gtl, m)
+    got = _our_loss(logits, deltas, anchors, gtb, gtl, m)
+    assert ref.keys() == got.keys()
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_multibox_loss_no_positives_matches_reference(ref_ssd, ref_utils):
+    """Whole batch background: both sides define loss 0 via N=max(1, fg)."""
+    rng = np.random.default_rng(42)
+    anchors, logits, deltas, gtb, gtl, m = _rand_loss_scene(rng, b=2)
+    m = [np.full_like(x, -1) for x in m]
+    ref = _ref_compute_loss(ref_ssd, ref_utils, logits, deltas, anchors,
+                            gtb, gtl, m)
+    got = _our_loss(logits, deltas, anchors, gtb, gtl, m)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-7, err_msg=k)
+
+
+@pytest.mark.parametrize("seed", list(range(4)))
+def test_multibox_loss_with_reference_matcher_end_to_end(
+        ref_ssd, ref_utils, seed):
+    """gt + anchors -> the reference's OWN SSDMatcher -> both losses:
+    the full executed-reference training-loss chain (iou -> match ->
+    encode -> mine -> reduce) against one dense jit-able call."""
+    rng = np.random.default_rng(700 + seed)
+    anchors, logits, deltas, gtb, gtl, _ = _rand_loss_scene(rng, b=3)
+    matcher = ref_utils.SSDMatcher(0.5)
+    matched = []
+    for i in range(3):
+        iou = _tv_box_iou(torch.from_numpy(gtb[i]),
+                          torch.from_numpy(anchors))
+        matched.append(matcher(iou).numpy().astype(np.int32))
+    ref = _ref_compute_loss(ref_ssd, ref_utils, logits, deltas, anchors,
+                            gtb, gtl, matched)
+    got = _our_loss(logits, deltas, anchors, gtb, gtl, matched)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, atol=1e-6,
+                                   err_msg=k)
