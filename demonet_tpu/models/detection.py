@@ -98,8 +98,13 @@ def preprocess(
     x = (images - mean) / std
     if resize and x.shape[1:3] != tuple(config.size):
         b, _, _, c = x.shape
+        # antialias=False: torch F.interpolate(mode='bilinear') does not
+        # low-pass filter when downscaling, and neither does the host
+        # cv2.INTER_LINEAR path — jax's antialias default would diverge
+        # from both by up to ~0.23 per pixel on downscales.
         x = jax.image.resize(
-            x, (b, config.size[0], config.size[1], c), method="bilinear")
+            x, (b, config.size[0], config.size[1], c), method="bilinear",
+            antialias=False)
     return x
 
 

@@ -588,3 +588,106 @@ def test_multibox_loss_with_reference_matcher_end_to_end(
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, atol=1e-6,
                                    err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# GeneralizedRCNNTransform: the reference's model-side pre/post transform
+# (transform.py:66-292) executed against models/detection.py::preprocess and
+# the postprocess_detections rescale / host transforms.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_transform(ref_ssd):
+    """transform.py is imported by the ref_ssd package fixture."""
+    return sys.modules["ref_demonet_models.transform"]
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (333, 500), (320, 320), (640, 427)])
+def test_preprocess_matches_reference_transform(ref_transform, hw):
+    """normalize + fixed-size bilinear resize (down- AND up-scaling):
+    the reference does NOT antialias (F.interpolate default), so
+    preprocess uses antialias=False — divergence would be ~0.23/pixel."""
+    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+    from demonet_tpu.models.detection import preprocess
+
+    cfg = ssdlite320_mobilenet_v3_large(num_classes=7).config
+    rng = np.random.default_rng(hash(hw) % 2**32)
+    img = rng.random((*hw, 3), np.float32)
+
+    tr = ref_transform.GeneralizedRCNNTransform(
+        min(cfg.size), max(cfg.size), list(cfg.image_mean),
+        list(cfg.image_std), size_divisible=1, fixed_size=tuple(cfg.size))
+    tr.eval()
+    with torch.no_grad():
+        image_list, _ = tr([torch.from_numpy(img).permute(2, 0, 1)])
+    ref = image_list.tensors.permute(0, 2, 3, 1).numpy()
+
+    got = np.asarray(preprocess(img[None], cfg))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_postprocess_rescale_matches_reference_resize_boxes(ref_transform):
+    """The in-graph original_sizes rescale == the reference's
+    transform.postprocess box path (resize_boxes, transform.py:278-292),
+    applied to the SAME detections."""
+    import jax.numpy as jnp
+
+    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+    from demonet_tpu.models.detection import postprocess_detections
+
+    det = ssdlite320_mobilenet_v3_large(num_classes=7)
+    cfg = det.config
+    a = det.anchors.shape[0]
+    rng = np.random.default_rng(11)
+    logits = np.full((2, a, 7), -4.0, np.float32)
+    for bi in range(2):
+        for _ in range(12):
+            logits[bi, rng.integers(0, a), rng.integers(1, 7)] = 9.0
+    deltas = rng.normal(0, 0.3, (2, a, 4)).astype(np.float32)
+    sizes = np.asarray([[480, 640], [427, 640]], np.float32)
+
+    plain = postprocess_detections(
+        logits, deltas, jnp.asarray(det.anchors), cfg)
+    scaled = postprocess_detections(
+        logits, deltas, jnp.asarray(det.anchors), cfg,
+        original_sizes=jnp.asarray(sizes))
+    np.testing.assert_array_equal(np.asarray(plain["valid"]),
+                                  np.asarray(scaled["valid"]))
+    assert np.asarray(plain["valid"]).sum() > 0
+    for i in range(2):
+        m = np.asarray(plain["valid"][i])
+        ref = ref_transform.resize_boxes(
+            torch.from_numpy(np.asarray(plain["boxes"][i][m])),
+            list(cfg.size), [int(sizes[i, 0]), int(sizes[i, 1])]).numpy()
+        np.testing.assert_allclose(
+            np.asarray(scaled["boxes"][i][m]), ref, rtol=1e-6, atol=1e-4)
+
+
+def test_host_resize_boxes_keypoints_match_reference(ref_transform):
+    """data/transforms.py::Resize box/keypoint scaling == the reference's
+    resize_boxes / resize_keypoints (same ratios, same xy-only scaling)."""
+    from demonet_tpu.data.transforms import Resize
+
+    rng = np.random.default_rng(5)
+    h, w, nh, nw = 333, 500, 320, 320
+    img = rng.random((h, w, 3), np.float32)
+    boxes = (_rand_boxes(rng, 9) / 600.0 * [w, h, w, h]).astype(np.float32)
+    kps = np.concatenate(
+        [rng.random((4, 17, 1)) * w, rng.random((4, 17, 1)) * h,
+         rng.integers(0, 3, (4, 17, 1)).astype(np.float64)],
+        axis=2).astype(np.float32)
+
+    _, tgt = Resize((nh, nw))(img, {"boxes": boxes, "keypoints": kps.copy()})
+
+    ref_b = ref_transform.resize_boxes(
+        torch.from_numpy(boxes), [h, w], [nh, nw]).numpy()
+    np.testing.assert_allclose(tgt["boxes"], ref_b, rtol=1e-6, atol=1e-4)
+
+    ref_k = ref_transform.resize_keypoints(
+        torch.from_numpy(kps.copy()), [h, w], [nh, nw]).numpy()
+    got_k = tgt["keypoints"]
+    np.testing.assert_allclose(got_k[..., :2], ref_k[..., :2],
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_array_equal(got_k[..., 2], ref_k[..., 2])
