@@ -6,7 +6,13 @@ The reference's VOC evaluator is pure numpy+xml
 matchers (/root/reference/demonet/models/_utils.py:81-362) need only torch
 (CPU, present here) plus a one-class torchvision stub — so instead of
 hand-derived golden values we run the reference directly on randomized
-inputs and assert identical outputs.
+inputs and assert identical outputs. The same recipe with a fuller stub
+set (ImageList, box_iou, a 20-line pure-torch greedy NMS) executes the
+reference's DefaultBoxGenerator (anchor_utils.py), its complete MultiBox
+training loss (generalized_ssd.py::SSD.compute_loss), the full inference
+postprocess (SSD.postprocess_detections) and the model-side
+pre/post transform (transform.py) — every numeric stage of the reference
+that runs without torchvision binaries.
 
 Environment shims (test-harness only, documented divergences none):
   * numpy>=1.24 removed the `np.bool` alias the 2020-era reference uses
@@ -27,6 +33,7 @@ import importlib.util
 import sys
 import types
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -691,3 +698,105 @@ def test_host_resize_boxes_keypoints_match_reference(ref_transform):
     np.testing.assert_allclose(got_k[..., :2], ref_k[..., :2],
                                rtol=1e-6, atol=1e-4)
     np.testing.assert_array_equal(got_k[..., 2], ref_k[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# SSD.postprocess_detections: the reference's FULL inference postprocess
+# (generalized_ssd.py:351-397 — softmax, decode, clip, per-class strict->
+# threshold + top-k, batched NMS, final top detections_per_img) executed
+# unbound against models/detection.py::postprocess_detections.
+# The only non-reference code in the oracle chain is a 20-line pure-torch
+# greedy NMS with torchvision's exact semantics (suppress IoU > thresh,
+# score-descending order).
+# ---------------------------------------------------------------------------
+
+
+def _tv_nms(boxes, scores, iou_threshold):
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(int(i))
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        iou = _tv_box_iou(boxes[i:i + 1], boxes[rest])[0]
+        rest = rest[iou <= iou_threshold]
+        order = rest
+    return torch.tensor(keep, dtype=torch.int64)
+
+
+def _tv_batched_nms(boxes, scores, idxs, iou_threshold):
+    if boxes.numel() == 0:
+        return torch.empty((0,), dtype=torch.int64)
+    max_coordinate = boxes.max()
+    offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
+    return _tv_nms(boxes + offsets[:, None], scores, iou_threshold)
+
+
+def _tv_clip_boxes_to_image(boxes, size):
+    h, w = size
+    out = boxes.clone()
+    out[:, 0::2] = out[:, 0::2].clamp(min=0, max=w)
+    out[:, 1::2] = out[:, 1::2].clamp(min=0, max=h)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_postproc(ref_ssd):
+    boxes_mod = sys.modules["torchvision.ops.boxes"]
+    boxes_mod.batched_nms = _tv_batched_nms
+    boxes_mod.clip_boxes_to_image = _tv_clip_boxes_to_image
+    return ref_ssd
+
+
+@pytest.mark.parametrize("seed", list(range(5)))
+def test_postprocess_detections_matches_reference(
+        ref_postproc, ref_utils, seed):
+    from demonet_tpu.models.detection import (
+        SSDConfig, postprocess_detections)
+    from demonet_tpu.ops.boxes import box_cxcywh_to_xyxy
+
+    rng = np.random.default_rng(900 + seed)
+    a, c, b = 160, 7, 2
+    cfg = SSDConfig(size=(64, 64), num_classes=c, score_thresh=0.02,
+                    nms_thresh=0.45, detections_per_img=15,
+                    topk_candidates=30)
+    cxy = rng.random((a, 2)) * 48 + 8
+    wh = rng.random((a, 2)) * 24 + 4
+    anchors = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(
+        np.concatenate([cxy, wh], 1), jnp.float32)))
+    # continuous logits: plenty above threshold, overlapping same-class
+    # candidates so NMS genuinely suppresses; unique scores (measure zero
+    # ties) keep both orderings comparable
+    logits = rng.normal(0, 1.5, (b, a, c)).astype(np.float32)
+    deltas = rng.normal(0, 0.4, (b, a, 4)).astype(np.float32)
+
+    self_stub = types.SimpleNamespace(
+        box_coder=ref_utils.BoxCoder(weights=cfg.box_coder_weights),
+        score_thresh=cfg.score_thresh, nms_thresh=cfg.nms_thresh,
+        detections_per_img=cfg.detections_per_img,
+        topk_candidates=cfg.topk_candidates)
+    head_outputs = {"bbox_regression": torch.from_numpy(deltas),
+                    "cls_logits": torch.from_numpy(logits)}
+    with torch.no_grad():
+        ref = ref_postproc.SSD.postprocess_detections(
+            self_stub, head_outputs,
+            [torch.from_numpy(anchors)] * b, [cfg.size] * b)
+
+    got = postprocess_detections(
+        jnp.asarray(logits), jnp.asarray(deltas), jnp.asarray(anchors),
+        cfg, nms_impl="xla", gather_impl="xla")
+
+    for i in range(b):
+        m = np.asarray(got["valid"][i])
+        assert int(m.sum()) == ref[i]["boxes"].shape[0]
+        assert m.sum() > 0
+        np.testing.assert_array_equal(
+            np.asarray(got["labels"][i][m]), ref[i]["labels"].numpy())
+        np.testing.assert_allclose(
+            np.asarray(got["scores"][i][m]), ref[i]["scores"].numpy(),
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(got["boxes"][i][m]), ref[i]["boxes"].numpy(),
+            rtol=1e-4, atol=1e-3)
