@@ -44,6 +44,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--mlir", default="", help="also dump StableHLO text here")
     p.add_argument("--platforms", default="tpu",
                    help="comma-separated lowering platforms (tpu, cpu)")
+    p.add_argument("--postprocess", default="reference",
+                   choices=["reference", "fused"],
+                   help="'fused' bakes the trained-model fast postprocess "
+                        "(~2x serving on sparse scores, exact fallback) "
+                        "into the artifact")
     p.add_argument("--raw-outputs", action="store_true",
                    help="export backbone+heads only (no decode/NMS)")
     p.add_argument("--bf16", action="store_true",
@@ -133,7 +138,8 @@ def main(args) -> None:
     platforms = tuple(args.platforms.split(","))
     exported = export_detector(
         detector, variables, batch_size=args.batch_size,
-        with_postprocess=not args.raw_outputs, platforms=platforms)
+        with_postprocess=not args.raw_outputs, platforms=platforms,
+        postprocess_impl=args.postprocess)
     save_exported(exported, args.output)
     print(f"wrote {args.output}")
     if args.mlir:

@@ -38,6 +38,7 @@ def export_detector(
     with_postprocess: bool = True,
     platforms: Optional[Tuple[str, ...]] = None,
     nms_impl: str = "auto",
+    postprocess_impl: str = "reference",
 ) -> jax_export.Exported:
     """Export the inference pipeline as a jax.export.Exported.
 
@@ -49,6 +50,11 @@ def export_detector(
       platforms: lowering platforms, e.g. ("tpu",) or ("cpu", "tpu").
         The Pallas NMS kernel only lowers for TPU; CPU exports use the
         XLA NMS automatically.
+      postprocess_impl: "reference" or "fused" — "fused" bakes the
+        trained-model fast postprocess (one class-offset NMS per image
+        with the exact fallback; detection._postprocess_fused) into the
+        serving artifact, the measured ~2x path on sparse trained-model
+        scores.
     """
     anchors = jnp.asarray(detector.anchors)
     config = detector.config
@@ -63,7 +69,7 @@ def export_detector(
             impl = "pallas" if platforms == ("tpu",) else "xla"
         return postprocess_detections(
             outputs["cls_logits"], outputs["bbox_regression"], anchors,
-            config, nms_impl=impl)
+            config, nms_impl=impl, impl=postprocess_impl)
 
     h, w = config.size
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)

@@ -66,3 +66,26 @@ def test_export_mlir_contains_stablehlo(detector_and_vars):
     exported = export_detector(det, variables, batch_size=1)
     mlir = exported.mlir_module()
     assert "stablehlo" in mlir
+
+
+def test_export_fused_postprocess_roundtrip(detector_and_vars, tmp_path):
+    """postprocess_impl='fused' bakes the fast serving path into the
+    artifact; outputs must equal the reference-postprocess export."""
+    det, variables = detector_and_vars
+    ref = export_detector(det, variables, batch_size=2)
+    fus = export_detector(det, variables, batch_size=2,
+                          postprocess_impl="fused")
+    path = str(tmp_path / "fused.stablehlo.bin")
+    save_exported(fus, path)
+    restored = load_exported(path)
+
+    images = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    a = jax.tree_util.tree_map(np.asarray, ref.call(images))
+    b = jax.tree_util.tree_map(np.asarray, restored.call(images))
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+    m = a["valid"]
+    np.testing.assert_array_equal(a["labels"][m], b["labels"][m])
+    np.testing.assert_allclose(a["scores"][m], b["scores"][m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a["boxes"][m], b["boxes"][m],
+                               rtol=1e-4, atol=1e-3)
