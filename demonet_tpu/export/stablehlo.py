@@ -67,9 +67,20 @@ def export_detector(
         impl = nms_impl
         if impl == "auto" and platforms is not None:
             impl = "pallas" if platforms == ("tpu",) else "xla"
+        # gather_impl must be resolved from the TARGET platforms too: the
+        # plain "auto" heuristic reads the EXPORTING host's default
+        # backend, so a cpu-platform export made on a TPU host would bake
+        # a Mosaic custom call into an artifact that cannot run on CPU
+        # (and a TPU export from a CPU-forced process would lose the
+        # kernel). auto-tpu/auto-cpu pin the platform half while keeping
+        # the per-callsite expanding heuristic.
+        gather = "auto"
+        if platforms is not None:
+            gather = "auto-tpu" if platforms == ("tpu",) else "auto-cpu"
         return postprocess_detections(
             outputs["cls_logits"], outputs["bbox_regression"], anchors,
-            config, nms_impl=impl, impl=postprocess_impl)
+            config, nms_impl=impl, gather_impl=gather,
+            impl=postprocess_impl)
 
     h, w = config.size
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)

@@ -142,9 +142,15 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     (R << N, e.g. the final top-300 gather) XLA's scalar gather wins
     (measured 2.9 ms vs 3.7 ms; the expanding candidate gather is the
     opposite, 5.9 ms XLA vs 2.3 ms pallas — tools/check_gather_tpu.py).
+    'auto-tpu' / 'auto-cpu' keep the expanding heuristic but pin the
+    platform half — for jax.export, where the TARGET platform (not the
+    exporting host's backend) must decide kernel availability.
     """
-    if gather_impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+    if gather_impl in ("auto", "auto-tpu", "auto-cpu"):
+        if gather_impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+        else:
+            on_tpu = gather_impl == "auto-tpu"
         expanding = idx.shape[1] >= table.shape[1]
         gather_impl = "pallas" if (on_tpu and expanding) else "xla"
     if gather_impl == "pallas":

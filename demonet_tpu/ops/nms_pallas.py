@@ -103,7 +103,14 @@ def nms_keep_batch(
     # 5,888) fits with headroom. Cap the product at 160,000 — existing
     # verified configs keep their chunk, larger-K problem sets shrink it.
     if k_pad * chunk > 160_000:
-        chunk = max(128, (160_000 // k_pad) // 128 * 128)
+        fit = (160_000 // k_pad) // 128 * 128  # lane-multiple chunks only
+        if fit == 0:
+            raise ValueError(
+                f"NMS candidate width K={k} (padded {k_pad}) cannot meet "
+                "the k_pad*chunk <= 160,000 scoped-VMEM cap at any "
+                "lane-multiple chunk; split the candidate set or use the "
+                "XLA NMS")
+        chunk = min(chunk, fit)  # only ever shrink the caller's chunk
     p_pad = _round_up(max(p, chunk), chunk)
 
     neg = jnp.float32(min(score_threshold, -1e30))

@@ -70,8 +70,43 @@ def test_export_mlir_contains_stablehlo(detector_and_vars):
 
 def test_export_fused_postprocess_roundtrip(detector_and_vars, tmp_path):
     """postprocess_impl='fused' bakes the fast serving path into the
-    artifact; outputs must equal the reference-postprocess export."""
+    artifact; outputs must equal the reference-postprocess export.
+
+    score_thresh is raised (derived from the actual random-weight score
+    distribution: the ~80th-largest foreground score) so the candidate
+    set is sparse and the fused program's lax.cond takes the FAST branch
+    (verified via the guard precondition below), not the trivially-equal
+    reference fallback."""
+    import dataclasses
+
+    from demonet_tpu.models.detection import preprocess
+
     det, variables = detector_and_vars
+    # fresh-init logits are ~constant (zero-bias heads on ~zero features:
+    # exactly 2 unique softmax values) — no threshold can make them
+    # sparse. Perturb the params (NOT batch_stats: noisy variances go
+    # negative through rsqrt) so scores spread like a trained model's.
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    variables = dict(variables, params=jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.2 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)]))
+    images = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    raw = det.model.apply(
+        variables, preprocess(images, det.config, resize=False), train=False)
+    sc = np.asarray(
+        jax.nn.softmax(raw["cls_logits"].astype(jnp.float32), -1)[..., 1:])
+    thr = float(np.partition(sc.ravel(), -80)[-80])
+    det = dataclasses.replace(
+        det, config=dataclasses.replace(det.config, score_thresh=thr))
+
+    # precondition: every image has >0 above-threshold candidates (so the
+    # comparison is non-trivial) and far fewer than the fused capacity
+    # (so the lax.cond really takes the fast branch)
+    above = (sc > thr).sum(axis=(1, 2))
+    assert (above > 0).all() and (above < 500).all(), above
+
     ref = export_detector(det, variables, batch_size=2)
     fus = export_detector(det, variables, batch_size=2,
                           postprocess_impl="fused")
@@ -79,11 +114,11 @@ def test_export_fused_postprocess_roundtrip(detector_and_vars, tmp_path):
     save_exported(fus, path)
     restored = load_exported(path)
 
-    images = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
     a = jax.tree_util.tree_map(np.asarray, ref.call(images))
     b = jax.tree_util.tree_map(np.asarray, restored.call(images))
     np.testing.assert_array_equal(a["valid"], b["valid"])
     m = a["valid"]
+    assert m.sum() > 0
     np.testing.assert_array_equal(a["labels"][m], b["labels"][m])
     np.testing.assert_allclose(a["scores"][m], b["scores"][m],
                                rtol=1e-5, atol=1e-6)

@@ -58,8 +58,9 @@ def test_vmem_cap_shrinks_chunk_and_stays_exact():
     chunk=512 exceeded the 16 MB scoped VMEM limit on the real chip by
     44 KB (ssd300_vgg16's reference postprocess, K=400 x 2,880 problems).
     Trigger the shrink branch cheaply in interpret mode — K=96 with an
-    oversized requested chunk (96*2048 > 160,000 -> chunk 1536) — and
-    pin bit-exactness vs the XLA reference. The real-shape run is
+    oversized requested chunk (96*2048 > 160,000 -> chunk shrinks to
+    (160000//96)//128*128 = 1664, product 159,744) — and pin
+    bit-exactness vs the XLA reference. The real-shape run is
     tools/check_fused_tpu.py --model ssd300_vgg16 on the chip."""
     boxes, scores = _random_problems(7, 2, 96, 41)
     keep_pallas = np.asarray(nms_keep_batch(
@@ -68,3 +69,16 @@ def test_vmem_cap_shrinks_chunk_and_stays_exact():
         nms_mask, iou_threshold=0.5, score_threshold=-1e29))
     keep_xla = np.asarray(ref(boxes, scores))
     np.testing.assert_array_equal(keep_pallas, keep_xla)
+
+
+def test_vmem_cap_never_raises_callers_chunk_and_rejects_oversize_k():
+    """The cap only SHRINKS chunk (a caller's explicitly smaller chunk is
+    kept even when the product still exceeds the budget at lane-multiple
+    granularity -> ValueError instead of silently violating the cap)."""
+    import pytest
+
+    boxes, scores = _random_problems(3, 2, 8, 7)
+    big_k = np.tile(boxes, (1, 200, 1))[:, :1600]  # K=1600 -> k_pad 1600
+    big_s = np.tile(scores, (1, 200))[:, :1600]
+    with pytest.raises(ValueError, match="scoped-VMEM cap"):
+        nms_keep_batch(big_k, big_s, 0.5, -1e29, chunk=512, interpret=True)

@@ -639,8 +639,6 @@ def test_postprocess_rescale_matches_reference_resize_boxes(ref_transform):
     """The in-graph original_sizes rescale == the reference's
     transform.postprocess box path (resize_boxes, transform.py:278-292),
     applied to the SAME detections."""
-    import jax.numpy as jnp
-
     from demonet_tpu.models import ssdlite320_mobilenet_v3_large
     from demonet_tpu.models.detection import postprocess_detections
 

@@ -83,12 +83,13 @@ def check_model(model_name: str, args) -> int:
         fus = jax.device_get(jf(v, buf))
         val_eq = bool((ref["valid"] == fus["valid"]).all())
         m = ref["valid"]
-        # scores: bitwise where possible, but the impl="fused" program
-        # wraps the reference pipeline in a lax.cond fallback branch that
-        # XLA may compile with different fusion rounding than the
-        # standalone reference program (~1e-7 on dense random-weight
-        # inputs where the fallback engages) — identical semantics, so
-        # compare with a tight allclose and report exactness separately
+        # scores: the trained path exercises the fused FAST branch, which
+        # is exact-by-construction -> gate on bitwise equality there. On
+        # random weights the candidates are dense and the lax.cond
+        # FALLBACK branch executes; XLA may compile that in-program copy
+        # of the reference pipeline with different fusion rounding than
+        # the standalone reference program (~1e-7), so gate on a tight
+        # allclose and report exactness separately.
         sc_eq = bool((ref["scores"][m] == fus["scores"][m]).all())
         sc_close = bool(np.allclose(ref["scores"][m], fus["scores"][m],
                                     rtol=1e-5, atol=1e-7))
@@ -99,7 +100,8 @@ def check_model(model_name: str, args) -> int:
         print(f"batch {i}: dets={n} valid_eq={val_eq} scores_eq={sc_eq} "
               f"scores_close={sc_close} labels_eq={lb_eq} "
               f"boxes_close={bx_close}")
-        ok &= val_eq and sc_close and lb_eq and bx_close
+        ok &= val_eq and (sc_eq if trained else sc_close) and lb_eq \
+            and bx_close
 
     def _sync(out):
         np.asarray(jax.device_get(
