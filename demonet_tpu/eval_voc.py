@@ -34,6 +34,11 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--results-dir", default="",
                         help="write det_test_<cls>.txt files here")
     parser.add_argument("--use-07-metric", action="store_true", default=True)
+    parser.add_argument("--postprocess", default="reference",
+                        choices=["reference", "fused"],
+                        help="'fused' = trained-model fast postprocess "
+                             "(~2x serving on sparse scores, exact "
+                             "fallback)")
     return parser
 
 
@@ -76,7 +81,8 @@ def main(args) -> None:
     evaluator = VocEvaluator(
         dataset, use_07_metric=args.use_07_metric,
         output_dir=args.results_dir or None)
-    predict_step = make_predict_step(detector, mesh=mesh)
+    predict_step = make_predict_step(detector, mesh=mesh,
+                                     impl=args.postprocess)
     evaluate(predict_step, variables, loader, evaluator, mesh=mesh)
 
 
