@@ -179,3 +179,43 @@ def test_sharded_train_step(setup):
     assert len(sharded["images"].sharding.device_set) == 8
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert len(leaf.sharding.device_set) == 8  # replicated across all
+
+
+def test_sharded_train_step_matches_unsharded(setup):
+    """Numeric DP correctness, not just crash-freedom: one optimizer step
+    on the 8-device mesh must reproduce the single-device step on the
+    same batch. Tolerances are loose-ish by necessity: GSPMD partitioning
+    reorders float reductions, and the MultiBox loss makes DISCRETE
+    selections (matching, hard-negative top-k) on those values, so a few
+    anchors flip sets and move the loss by ~1e-4 relative (measured) —
+    while a real DP bug (per-shard normalization, missing psum) shows up
+    at 8x / 12.5%."""
+    det, ds = setup
+    from demonet_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+
+    tx = make_optimizer(make_lr_schedule(0.02, steps_per_epoch=10))
+    loader = DetectionLoader(ds, batch_size=8, image_size=(64, 64),
+                             max_gt=5, prefetch=0)
+    batch = {k: v for k, v in next(iter(loader)).items()
+             if k in ("images", "gt_boxes", "gt_labels", "gt_valid")}
+
+    base_state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    solo_state, solo_metrics = make_train_step(det, donate=False)(
+        base_state, batch)
+
+    for model_axis in (1, 2):  # pure-DP mesh and the 2-D (data, model) mesh
+        mesh = data_mesh(model_axis=model_axis)
+        state = jax.device_put(
+            create_train_state(det, jax.random.PRNGKey(0), tx),
+            replicate(mesh))
+        step = make_train_step(det, mesh=mesh, donate=False)
+        new_state, metrics = step(state, shard_batch(dict(batch), mesh))
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(solo_metrics["loss"]),
+            rtol=2e-3, err_msg=f"model_axis={model_axis}")
+        solo_leaves = jax.tree_util.tree_leaves(solo_state.params)
+        mesh_leaves = jax.tree_util.tree_leaves(new_state.params)
+        for a, b in zip(solo_leaves, mesh_leaves):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4,
+                err_msg=f"model_axis={model_axis}")
