@@ -64,6 +64,7 @@ def ssdlite320_mobilenet_v3_large(
     dtype: Any = jnp.float32,
     lane_pack: bool = False,
     lane_pack_max_lanes: int = 128,
+    stem_s2d: bool = False,
     **config_overrides: Any,
 ) -> Detector:
     """SSDLite320 + MobileNetV3-Large — the flagship model
@@ -71,10 +72,13 @@ def ssdlite320_mobilenet_v3_large(
 
     lane_pack: run the early trunk blocks in the lane-packed layout
     (ops/lane_pack.py) — a training-throughput knob with an identical
-    variable tree; numerics match up to conv summation order."""
+    variable tree; numerics match up to conv summation order.
+    stem_s2d: compute the 3-channel stem conv on the space-to-depth
+    layout (exact; same variable tree; lane-fill knob)."""
     extractor = SSDLiteMobileNetExtractor(
         arch="mobilenet_v3_large", reduced_tail=reduced_tail, dtype=dtype,
-        lane_pack=lane_pack, lane_pack_max_lanes=lane_pack_max_lanes)
+        lane_pack=lane_pack, lane_pack_max_lanes=lane_pack_max_lanes,
+        stem_s2d=stem_s2d)
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     head = SSDLiteHead(tuple(num_anchors), num_classes, dtype=dtype)

@@ -75,13 +75,15 @@ class SSDLiteMobileNetExtractor(nn.Module):
     dtype: Dtype = jnp.float32
     lane_pack: bool = False  # pack early trunk blocks (ops/lane_pack.py)
     lane_pack_max_lanes: int = 128
+    stem_s2d: bool = False  # space-to-depth stem conv (exact)
 
     def setup(self):
         rows, _ = mobilenet_v3_conf(self.arch, self.width_mult, self.reduced_tail)
         self.trunk = MobileNetV3Features(
             tuple(rows), bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
             dtype=self.dtype, lane_pack=self.lane_pack,
-            lane_pack_max_lanes=self.lane_pack_max_lanes)
+            lane_pack_max_lanes=self.lane_pack_max_lanes,
+            stem_s2d=self.stem_s2d)
         get_depth = lambda d: max(self.min_depth, int(d * self.width_mult))  # noqa: E731
         self.extras = [
             _SSDLiteExtraBlock(get_depth(c), bn_eps=self.bn_eps,

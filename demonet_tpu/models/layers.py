@@ -59,11 +59,37 @@ def _torch_padding(kernel_size: int, dilation: int = 1) -> Tuple[Tuple[int, int]
     return ((p, p), (p, p))
 
 
+class _S2DConv3x3s2(nn.Module):
+    """3x3 stride-2 conv computed on the space-to-depth input layout.
+
+    Holds the SAME (3, 3, C, O) 'kernel' param a plain nn.Conv would (so
+    checkpoints/converters are layout-agnostic) and rearranges it at trace
+    time (ops/lane_pack.s2d_stem_kernel) — identical math, 4x the lane
+    fill for the 3-channel stem."""
+
+    features: int
+    kernel_init: Callable
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from demonet_tpu.ops.lane_pack import s2d_stem_kernel, space_to_depth
+
+        c = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, c, self.features))
+        k2 = s2d_stem_kernel(kernel.astype(self.dtype))
+        return jax.lax.conv_general_dilated(
+            space_to_depth(x.astype(self.dtype)), k2, (1, 1),
+            ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (no bias) + BatchNorm + activation, NHWC.
 
     ``act`` None means linear (the V2 projection conv). ``groups`` equal to the
-    input channel count gives a depthwise conv.
+    input channel count gives a depthwise conv. ``s2d`` computes a 3x3
+    stride-2 conv via space-to-depth (exact; stem lane-fill knob).
     """
 
     features: int
@@ -76,21 +102,28 @@ class ConvBNAct(nn.Module):
     bn_momentum: float = 0.99  # flax decay = 1 - torch momentum
     kernel_init: Callable = KAIMING_OUT
     dtype: Dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=_torch_padding(self.kernel_size, self.dilation),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d:
+            assert (self.kernel_size, self.stride, self.groups,
+                    self.dilation) == (3, 2, 1, 1), "s2d is a 3x3/s2 path"
+            x = _S2DConv3x3s2(self.features, kernel_init=self.kernel_init,
+                              dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=_torch_padding(self.kernel_size, self.dilation),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

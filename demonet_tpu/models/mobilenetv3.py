@@ -114,6 +114,9 @@ class MobileNetV3Features(nn.Module):
     # the 128-wide registers. Identical variable tree; training-perf knob.
     lane_pack: bool = False
     lane_pack_max_lanes: int = 128
+    # compute the 3-channel stem conv on the space-to-depth layout
+    # (ops/lane_pack.s2d_stem_kernel): exact, same variable tree
+    stem_s2d: bool = False
 
     def _pack_plan(self):
         """Per-block run pack factor; 1 = unpacked. Only a PREFIX of
@@ -138,7 +141,8 @@ class MobileNetV3Features(nn.Module):
     def setup(self):
         self.stem = ConvBNAct(
             self.configs[0].in_channels, 3, stride=2, act=hard_swish,
-            bn_eps=self.bn_eps, bn_momentum=self.bn_momentum, dtype=self.dtype)
+            bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, s2d=self.stem_s2d)
         plan = self._pack_plan()
         self._plan = plan
         self.blocks = [

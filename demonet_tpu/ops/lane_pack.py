@@ -126,3 +126,44 @@ def packed_batch_stats(x: jnp.ndarray, p: int, c: int):
     mean = jnp.mean(v, axis=(0, 1, 2, 3))
     var = jnp.mean(jnp.square(v), axis=(0, 1, 2, 3)) - jnp.square(mean)
     return mean, var
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem (the classic TPU "conv0" transform)
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/r, W/r, r*r*C), block-major channels
+    ((u, v, c) flattened): pure relayout, no arithmetic."""
+    b, h, w, c = x.shape
+    assert h % r == 0 and w % r == 0, (h, w, r)
+    x = x.reshape(b, h // r, r, w // r, r, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // r, w // r, r * r * c)
+
+
+def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a (3, 3, C, O) stride-2 conv kernel into the (2, 2, 4C, O)
+    kernel that computes the SAME conv on space_to_depth(x, 2) with stride
+    1 and padding ((1, 0), (1, 0)).
+
+    Derivation: input position p = 2i + di - 1 (torch padding=1). Writing
+    p = 2a + u (block a, in-block offset u): di=0 -> (a=i-1, u=1),
+    di=1 -> (a=i, u=0), di=2 -> (a=i, u=1). So taps live at block offsets
+    da in {-1, 0} = a 2-wide kernel with 1 step of LEFT padding, and the
+    (kernel-step, in-block-offset) pair maps back to di; position
+    (ka=0, u=0) is never read -> zero block. Why this wins on TPU: the
+    3-channel stem input fills 3/128 vector lanes, so the conv runs at a
+    fraction of HBM bandwidth; s2d presents 12 channels at half the
+    spatial size — identical math (validated to fp32 noise), 4x lane fill.
+    """
+    kh, kw, c, o = k.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    k2 = jnp.zeros((2, 2, 2, 2, c, o), k.dtype)
+    mapping = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (ka, u), di in mapping.items():
+        for (kb, v), dj in mapping.items():
+            k2 = k2.at[ka, kb, u, v].set(k[di, dj])
+    # (ka, kb, u, v, c, o) -> (ka, kb, (u, v, c), o): the (u, v, c)
+    # flattening matches space_to_depth's channel order
+    return k2.reshape(2, 2, 4 * c, o)

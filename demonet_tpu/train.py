@@ -63,6 +63,10 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                         help="run the early trunk in the lane-packed layout "
                              "(ops/lane_pack.py) — training-throughput knob, "
                              "identical math (ssdlite320_mobilenet_v3_large)")
+    parser.add_argument("--stem-s2d", dest="stem_s2d", action="store_true",
+                        help="compute the 3-channel stem conv on the "
+                             "space-to-depth layout (exact, 4x lane fill; "
+                             "ops/lane_pack.s2d_stem_kernel)")
     parser.add_argument("--postprocess", default="reference",
                         choices=["reference", "fused"],
                         help="eval postprocess: 'fused' = trained-model fast "
@@ -164,6 +168,8 @@ def main(args) -> None:
     model_kw = dict(num_classes=num_classes, dtype=dtype)
     if getattr(args, "lane_pack", False):
         model_kw["lane_pack"] = True  # builders without the knob raise
+    if getattr(args, "stem_s2d", False):
+        model_kw["stem_s2d"] = True
     detector = get_model(args.model, **model_kw)
     size = detector.config.size
 

@@ -171,3 +171,60 @@ def test_packed_detector_builds_and_matches():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(b["bbox_regression"], a["bbox_regression"],
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem (ops/lane_pack.space_to_depth / s2d_stem_kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_s2d_stem_kernel_exact_vs_direct_conv():
+    """(3,3,C,O)/s2 conv == (2,2,4C,O)/s1 conv on space_to_depth input."""
+    from demonet_tpu.ops.lane_pack import s2d_stem_kernel, space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 16)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_stem_kernel(k), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stem_s2d_model_equivalence_and_variable_tree():
+    """ssdlite320(stem_s2d=True) shares variables with the plain model and
+    produces the same raw outputs; gradients flow through the rearranged
+    kernel back to the SAME (3,3,3,16) param."""
+    from demonet_tpu.models import ssdlite320_mobilenet_v3_large
+
+    base = ssdlite320_mobilenet_v3_large(num_classes=5, size=(64, 64))
+    s2d = ssdlite320_mobilenet_v3_large(num_classes=5, size=(64, 64),
+                                        stem_s2d=True)
+    v = base.init(jax.random.PRNGKey(0))
+    v2 = s2d.init(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out_a = base.model.apply(v, x, train=False)
+    out_b = s2d.model.apply(v, x, train=False)  # SAME variables
+    for key in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key)
+
+    def loss(params):
+        out = s2d.model.apply(
+            {**v, "params": params}, x, train=False)
+        return jnp.sum(out["cls_logits"] ** 2) * 1e-3
+
+    g = jax.grad(loss)(v["params"])
+    stem_g = g["extractor"]["trunk"]["stem"]["conv"]["kernel"]
+    assert stem_g.shape == (3, 3, 3, 16)
+    assert float(jnp.abs(stem_g).max()) > 0
