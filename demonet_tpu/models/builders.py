@@ -143,6 +143,7 @@ def ssd_lite_mobilenet_v2(
     size: Tuple[int, int] = (320, 320),
     score_thresh: float = 0.5,
     dtype: Any = jnp.float32,
+    stem_s2d: bool = False,
     **config_overrides: Any,
 ) -> Detector:
     """The legacy v0 SSDLite + MobileNetV2 VOC model, restored in working form
@@ -154,7 +155,7 @@ def ssd_lite_mobilenet_v2(
     (6x[2,3] ratios, scales 0.2-0.95) is used, matching the anchor counts
     the legacy head expects (6 per location on 6 maps).
     """
-    extractor = MobileNetV2ExtraBlocks(dtype=dtype)
+    extractor = MobileNetV2ExtraBlocks(dtype=dtype, stem_s2d=stem_s2d)
     aspect_ratios = [[2, 3]] * 6
     num_anchors = anchor_lib.num_anchors_per_location(aspect_ratios)
     # legacy MultiBoxLiteHead: separable blocks with default-BN (eps 1e-5)

@@ -147,12 +147,15 @@ class MobileNetV2ExtraBlocks(nn.Module):
 
     width_mult: float = 1.0
     dtype: Dtype = jnp.float32
+    stem_s2d: bool = False
 
     hidden_dims: Tuple[int, ...] = (512, 256, 256, 64)
     expand_ratios: Tuple[float, ...] = (0.2, 0.25, 0.5, 0.25)
 
     def setup(self):
-        self.trunk = MobileNetV2Features(width_mult=self.width_mult, dtype=self.dtype)
+        self.trunk = MobileNetV2Features(width_mult=self.width_mult,
+                                         dtype=self.dtype,
+                                         stem_s2d=self.stem_s2d)
         self.extras = [
             _ExtraInvertedResidual(c, r, dtype=self.dtype)
             for c, r in zip(self.hidden_dims, self.expand_ratios)

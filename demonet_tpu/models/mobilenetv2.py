@@ -51,6 +51,7 @@ class MobileNetV2Features(nn.Module):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9
     dtype: Any = jnp.float32
+    stem_s2d: bool = False  # space-to-depth stem conv (exact)
 
     def setup(self):
         input_channel = make_divisible(32 * self.width_mult, self.round_nearest)
@@ -58,7 +59,8 @@ class MobileNetV2Features(nn.Module):
             1280 * max(1.0, self.width_mult), self.round_nearest)
         self.stem = ConvBNAct(
             input_channel, 3, stride=2, act=relu6, bn_eps=self.bn_eps,
-            bn_momentum=self.bn_momentum, dtype=self.dtype)
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
+            s2d=self.stem_s2d)
         blocks = []
         strided = []  # torch marks `_is_cn` on stride-2 blocks
         ch = input_channel

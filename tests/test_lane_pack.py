@@ -228,3 +228,20 @@ def test_stem_s2d_model_equivalence_and_variable_tree():
     stem_g = g["extractor"]["trunk"]["stem"]["conv"]["kernel"]
     assert stem_g.shape == (3, 3, 3, 16)
     assert float(jnp.abs(stem_g).max()) > 0
+
+
+def test_stem_s2d_mnv2_equivalence():
+    """The v2 family's stem accepts the same knob with shared variables."""
+    from demonet_tpu.models import get_model
+
+    base = get_model("ssd_lite_mobilenet_v2", num_classes=5, size=(64, 64))
+    s2d = get_model("ssd_lite_mobilenet_v2", num_classes=5, size=(64, 64),
+                    stem_s2d=True)
+    v = base.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out_a = base.model.apply(v, x, train=False)
+    out_b = s2d.model.apply(v, x, train=False)
+    for key in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key)
