@@ -27,6 +27,10 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="orbax checkpoint dir")
     p.add_argument("--torch-weights", default="",
                    help=".pth file converted via utils.torch_weights")
+    p.add_argument("--npz-weights", default="",
+                   help="flat .npz variables (the committed bench-asset "
+                        "format: keys 'params/...', 'batch_stats/...'; "
+                        "see tools/export_bench_weights.py)")
     p.add_argument("--format", default="stablehlo",
                    choices=["stablehlo", "caffe"],
                    help="caffe = prototxt+caffemodel (reference convert.py)")
@@ -86,6 +90,18 @@ def main(args) -> None:
 
         variables = load_variables(args.checkpoint)
         print(f"loaded checkpoint {args.checkpoint}")
+    elif args.npz_weights:
+        import numpy as np
+
+        with np.load(args.npz_weights) as z:
+            variables = {}
+            for key in z.files:
+                node = variables
+                parts = key.split("/")
+                for q in parts[:-1]:
+                    node = node.setdefault(q, {})
+                node[parts[-1]] = np.asarray(z[key], np.float32)
+        print(f"loaded npz weights from {args.npz_weights}")
 
     if args.format == "caffe":
         prefix = args.output

@@ -39,6 +39,28 @@ def main(args) -> int:
     return rc
 
 
+def _set_match_ok(ref, fus, batch, tol=1e-5) -> bool:
+    """Order-insensitive per-image detection match (fallback regime):
+    greedily pair each fused det with an unused ref det of the same
+    label, |dscore| <= tol, box within atol 1e-3. True iff every det of
+    every image pairs up."""
+    for i in range(batch):
+        m = ref["valid"][i]
+        rs, fs = ref["scores"][i][m], fus["scores"][i][m]
+        rl, fl = ref["labels"][i][m], fus["labels"][i][m]
+        rb, fb = ref["boxes"][i][m], fus["boxes"][i][m]
+        used = np.zeros(len(rs), bool)
+        for p in range(len(fs)):
+            cand = np.nonzero(
+                ~used & (rl == fl[p]) & (np.abs(rs - fs[p]) <= tol)
+                & (np.abs(rb - fb[p]).max(axis=-1)
+                   <= 1e-3 + 1e-5 * np.abs(fb[p]).max()))[0]
+            if not len(cand):
+                return False
+            used[cand[0]] = True
+    return True
+
+
 def check_model(model_name: str, args) -> int:
     assert jax.default_backend() == "tpu", jax.default_backend()
     from demonet_tpu.models import get_model
@@ -97,11 +119,22 @@ def check_model(model_name: str, args) -> int:
         bx_close = bool(np.allclose(ref["boxes"][m], fus["boxes"][m],
                                     rtol=1e-5, atol=1e-3))
         n = int(m.sum())
+        # Fallback regime only (random weights): the cond fallback branch
+        # can round scores one ulp differently from the standalone
+        # reference program (measured max 6e-8 — tools/diag_fused_mismatch
+        # .py, ssd512_vgg16), so NEAR-TIED detections may swap adjacent
+        # ranks. Gate position mismatches with a tolerance-aware per-image
+        # set match: every fused det must pair with an unused ref det of
+        # the same label, |dscore| <= 1e-5 and close box.
+        set_ok = True
+        if not (lb_eq and bx_close):
+            set_ok = _set_match_ok(ref, fus, b)
         print(f"batch {i}: dets={n} valid_eq={val_eq} scores_eq={sc_eq} "
               f"scores_close={sc_close} labels_eq={lb_eq} "
-              f"boxes_close={bx_close}")
-        ok &= val_eq and (sc_eq if trained else sc_close) and lb_eq \
-            and bx_close
+              f"boxes_close={bx_close}"
+              + ("" if lb_eq and bx_close else f" set_match_ok={set_ok}"))
+        ok &= val_eq and (sc_eq if trained else sc_close) and \
+            ((lb_eq and bx_close) if trained else set_ok)
 
     def _sync(out):
         np.asarray(jax.device_get(

@@ -18,22 +18,23 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def make_step(lane_pack, dtype, max_lanes=128):
+def make_step(lane_pack, dtype, max_lanes=128, stem_s2d=False):
     from demonet_tpu.engine import (
         create_train_state, make_lr_schedule, make_optimizer, make_train_step)
     from demonet_tpu.models import ssdlite320_mobilenet_v3_large
 
     det = ssdlite320_mobilenet_v3_large(
         num_classes=91, dtype=dtype, lane_pack=lane_pack,
-        lane_pack_max_lanes=max_lanes)
+        lane_pack_max_lanes=max_lanes, stem_s2d=stem_s2d)
     tx = make_optimizer(make_lr_schedule(0.02, steps_per_epoch=1000))
     state = create_train_state(det, jax.random.PRNGKey(0), tx)
     step = make_train_step(det, donate=True)
     return state, step
 
 
-def bench(name, lane_pack, dtype, max_lanes=128, iters=20, batch=64):
-    state, step = make_step(lane_pack, dtype, max_lanes)
+def bench(name, lane_pack, dtype, max_lanes=128, iters=20, batch=64,
+          stem_s2d=False):
+    state, step = make_step(lane_pack, dtype, max_lanes, stem_s2d)
     rng = np.random.default_rng(0)
     batches = []
     for i in range(3):
@@ -60,8 +61,26 @@ def bench(name, lane_pack, dtype, max_lanes=128, iters=20, batch=64):
 
 
 def main() -> int:
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--stem-s2d", action="store_true",
+                        help="A/B the space-to-depth stem (with/without, "
+                             "on top of base and lane_pack(128)) instead "
+                             "of the lane-pack sweep")
+    args = parser.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
     results = {}
+    if args.stem_s2d:
+        for dtype_name, dtype in (("fp32", jnp.float32),
+                                  ("bf16", jnp.bfloat16)):
+            for lp in (False, True):
+                lp_name = "lane_pack(128)" if lp else "base"
+                for s2d in (False, True):
+                    name = f"{dtype_name} {lp_name}" + \
+                        (" +stem_s2d" if s2d else "")
+                    results[name] = bench(name, lp, dtype, stem_s2d=s2d)
+        print(results)
+        return 0
     for dtype_name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         results[f"{dtype_name} base"] = bench(
             f"{dtype_name} base", False, dtype)

@@ -44,9 +44,20 @@ def main() -> None:
 
     exported = load_exported(exported_path)
     n, h, w, c = exported.in_avals[0].shape
-    # deterministic non-trivial input: zeros would tie every score and make
-    # the sort order (hence box order) unspecified between compilations
-    x = np.random.default_rng(0).random((n, h, w, c)).astype(np.float32)
+    if "--real-frames" in sys.argv:
+        # real val frames (bench asset): with TRAINED weights these have
+        # sparse above-threshold scores, so a fused-postprocess artifact
+        # exercises its FAST branch rather than the dense fallback
+        from tools.export_bench_images import load_bench_images
+
+        x = np.ascontiguousarray(load_bench_images(
+            "bench_assets/val_images_320.npz", n).astype(np.float32))
+        assert x.shape == (n, h, w, c), (x.shape, (n, h, w, c))
+    else:
+        # deterministic non-trivial input: zeros would tie every score and
+        # make the sort order (hence box order) unspecified between
+        # compilations
+        x = np.random.default_rng(0).random((n, h, w, c)).astype(np.float32)
     x.tofile(input_path)
     if make_input_only:
         print(f"wrote {input_path} ({x.nbytes} bytes, {x.shape})")
