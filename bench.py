@@ -155,35 +155,38 @@ def main() -> None:
             make_train_step)
         from demonet_tpu.models import ssdlite320_mobilenet_v3_large
 
-        spc = 8
         tdet = ssdlite320_mobilenet_v3_large(
             num_classes=91, dtype=jnp.bfloat16, lane_pack=True)
-        tstate = create_train_state(
-            tdet, jax.random.PRNGKey(0),
-            make_optimizer(make_lr_schedule(0.02, 100)))
-        tstep = make_train_step(tdet, steps_per_call=spc)
-        tb = {
-            "images": jnp.asarray(
-                rng.random((spc, BATCH, 320, 320, 3), np.float32)),
-            "gt_boxes": jnp.tile(jnp.asarray(
-                [[[[20.0, 20.0, 120.0, 120.0]]]]), (spc, BATCH, 1, 1)),
-            "gt_labels": jnp.full((spc, BATCH, 1), 1, jnp.int32),
-            "gt_valid": jnp.ones((spc, BATCH, 1), bool),
-        }
-        tstate, _ = tstep(tstate, tb)  # compile
-        _sync(tstate.params)
-        for _ in range(2):
-            tstate, _ = tstep(tstate, tb)
-        _sync(tstate.params)
-        t0 = time.perf_counter()
-        t_iters = 8
-        for _ in range(t_iters):
-            tstate, _ = tstep(tstate, tb)
-        _sync(tstate.params)
-        step_ms = (time.perf_counter() - t0) / (t_iters * spc) * 1000.0
-        train["train_bf16_lanepack_spc8_ms_per_step"] = round(step_ms, 2)
-        train["train_bf16_lanepack_spc8_img_s"] = round(
-            BATCH / step_ms * 1000.0, 1)
+        tx = make_optimizer(make_lr_schedule(0.02, 100))
+        # b64 spc8: the round-3 config (cross-round continuity);
+        # b128 spc4: the round-3 batch-scaling headline (DESIGN.md
+        # "Batch scaling": bigger batches fill the chip better, b128 is
+        # the measured sweet spot — b256 regresses)
+        for tb_batch, spc, label in ((BATCH, 8, "train_bf16_lanepack_spc8"),
+                                     (128, 4, "train_bf16_lanepack_b128_spc4")):
+            tstate = create_train_state(tdet, jax.random.PRNGKey(0), tx)
+            tstep = make_train_step(tdet, steps_per_call=spc)
+            tb = {
+                "images": jnp.asarray(
+                    rng.random((spc, tb_batch, 320, 320, 3), np.float32)),
+                "gt_boxes": jnp.tile(jnp.asarray(
+                    [[[[20.0, 20.0, 120.0, 120.0]]]]), (spc, tb_batch, 1, 1)),
+                "gt_labels": jnp.full((spc, tb_batch, 1), 1, jnp.int32),
+                "gt_valid": jnp.ones((spc, tb_batch, 1), bool),
+            }
+            tstate, _ = tstep(tstate, tb)  # compile
+            _sync(tstate.params)
+            for _ in range(2):
+                tstate, _ = tstep(tstate, tb)
+            _sync(tstate.params)
+            t0 = time.perf_counter()
+            t_iters = 8
+            for _ in range(t_iters):
+                tstate, _ = tstep(tstate, tb)
+            _sync(tstate.params)
+            step_ms = (time.perf_counter() - t0) / (t_iters * spc) * 1000.0
+            train[f"{label}_ms_per_step"] = round(step_ms, 2)
+            train[f"{label}_img_s"] = round(tb_batch / step_ms * 1000.0, 1)
     except Exception as e:  # keep the bench line emitting on any failure
         train["train_bench_error"] = repr(e)[:200]
 

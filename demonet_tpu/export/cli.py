@@ -91,16 +91,9 @@ def main(args) -> None:
         variables = load_variables(args.checkpoint)
         print(f"loaded checkpoint {args.checkpoint}")
     elif args.npz_weights:
-        import numpy as np
+        from demonet_tpu.utils.checkpoints import load_npz_variables
 
-        with np.load(args.npz_weights) as z:
-            variables = {}
-            for key in z.files:
-                node = variables
-                parts = key.split("/")
-                for q in parts[:-1]:
-                    node = node.setdefault(q, {})
-                node[parts[-1]] = np.asarray(z[key], np.float32)
+        variables = load_npz_variables(args.npz_weights)
         print(f"loaded npz weights from {args.npz_weights}")
 
     if args.format == "caffe":

@@ -91,6 +91,10 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--torch-weights", default="",
                         help="path to a torch .pth checkpoint to convert "
                              "and load (reference state_dict layout)")
+    parser.add_argument("--npz-weights", default="",
+                        help="flat .npz variables (the committed bench-asset "
+                             "layout) to load as model weights — e.g. for "
+                             "--test-only evaluation of a bench asset")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay fp32)")
@@ -214,6 +218,13 @@ def main(args) -> None:
         state = apply_pretrained(
             state, args.model, path=args.torch_weights or None)
         print(f"loaded pretrained weights for {args.model}")
+    if getattr(args, "npz_weights", ""):
+        from demonet_tpu.utils.checkpoints import load_npz_variables
+
+        npz = load_npz_variables(args.npz_weights)
+        state = state.replace(params=npz["params"],
+                              batch_stats=npz.get("batch_stats") or {})
+        print(f"loaded npz weights from {args.npz_weights}")
     state = jax.device_put(state, replicate(mesh))
 
     start_epoch = args.start_epoch

@@ -68,6 +68,23 @@ def load_variables(path: str) -> Dict[str, Any]:
             "batch_stats": state.get("batch_stats") or {}}
 
 
+def load_npz_variables(path: str) -> Dict[str, Any]:
+    """Flat .npz variables ('params/.../kernel' keys, the
+    tools/export_bench_weights.py layout) -> nested
+    {'params': ..., 'batch_stats': ...} with fp32 leaves."""
+    import numpy as np
+
+    variables: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = variables
+            parts = key.split("/")
+            for q in parts[:-1]:
+                node = node.setdefault(q, {})
+            node[parts[-1]] = np.asarray(z[key], np.float32)
+    return variables
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Most recent checkpoint_<epoch> directory, or None."""
     if not os.path.isdir(output_dir):

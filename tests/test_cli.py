@@ -121,3 +121,70 @@ def test_train_cli_pretrained_flags():
         ["--pretrained", "--torch-weights", "w.pth"])
     assert args.pretrained is True
     assert args.torch_weights == "w.pth"
+
+
+def test_train_cli_npz_weights(tmp_path, monkeypatch):
+    """--npz-weights loads flat bench-asset-layout variables into the
+    state before --test-only evaluation (utils/checkpoints.
+    load_npz_variables round-trips tools/export_bench_weights.flatten)."""
+    import numpy as np
+
+    import demonet_tpu.models as models
+    from demonet_tpu import train as train_cli
+    from demonet_tpu.utils.checkpoints import load_npz_variables
+
+    orig = models.get_model
+
+    def small_get_model(name, **kw):
+        kw.setdefault("size", (64, 64))
+        return orig(name, **kw)
+
+    monkeypatch.setattr("demonet_tpu.models.get_model", small_get_model)
+
+    # synthesize a distinctive flat npz from a freshly-initialized model
+    import jax
+
+    det = small_get_model("ssdlite320_mobilenet_v3_large", num_classes=5)
+    variables = det.init(jax.random.PRNGKey(7))
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, key))
+            else:
+                out[key] = np.asarray(v)
+        return out
+
+    npz_path = tmp_path / "w.npz"
+    np.savez(npz_path, **flatten(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}))
+
+    loaded = load_npz_variables(str(npz_path))
+    ref_leaves = jax.tree_util.tree_leaves(variables["params"])
+    got_leaves = jax.tree_util.tree_leaves(loaded["params"])
+    assert len(ref_leaves) == len(got_leaves)
+    assert all(np.allclose(a, b) for a, b in zip(ref_leaves, got_leaves))
+
+    captured = {}
+    from demonet_tpu import engine as eng
+
+    orig_eval = eng.evaluate
+
+    def spy_evaluate(predict_step, state, *a, **kw):
+        captured["params"] = state.params
+        return orig_eval(predict_step, state, *a, **kw)
+
+    monkeypatch.setattr("demonet_tpu.engine.evaluate", spy_evaluate)
+    monkeypatch.setattr("demonet_tpu.train.evaluate", spy_evaluate,
+                        raising=False)
+    args = train_cli.get_args_parser().parse_args([
+        "--dataset", "synthetic", "--synthetic-size", "8",
+        "--num-classes", "5", "--batch-size", "8", "--test-only",
+        "--npz-weights", str(npz_path), "--output-dir", str(tmp_path)])
+    train_cli.main(args)
+    got = jax.tree_util.tree_leaves(captured["params"])
+    assert all(np.allclose(a, np.asarray(b))
+               for a, b in zip(ref_leaves, got))
