@@ -110,13 +110,14 @@ def preprocess(
 
 def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
               config: SSDConfig, nms_impl: str,
-              chunk: int = 512) -> jnp.ndarray:
+              chunk: int = 512, vmem_cap: int = 160_000) -> jnp.ndarray:
     """Keep mask for (P, K) score-sorted candidate sets.
 
     'pallas' = the TPU kernel (ops/nms_pallas.py); 'xla' = vmapped scan
     (ops/nms.py) for CPU/debug; 'auto' picks by backend. `chunk` =
     problems per kernel grid step (VMEM scales with K * chunk — the
-    fused path's K=1024 problems use a smaller chunk).
+    fused path's K=2048 problems use a smaller chunk and the raised
+    few-problem `vmem_cap`, see nms_keep_batch).
     """
     if nms_impl == "auto":
         nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -125,7 +126,7 @@ def _nms_keep(cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
 
         return nms_keep_batch(
             cand_boxes, cand_scores, config.nms_thresh, _NEG_INF / 2,
-            chunk=chunk)
+            chunk=chunk, vmem_cap=vmem_cap)
     per_problem = functools.partial(
         nms_mask, iou_threshold=config.nms_thresh, score_threshold=_NEG_INF / 2)
     return jax.vmap(per_problem)(cand_boxes, cand_scores)
@@ -267,7 +268,21 @@ def postprocess_detections(
             "labels": out_labels, "valid": valid}
 
 
-_FUSED_R = 1024      # per-image live-candidate capacity of the fast path
+_FUSED_TIERS = (1024, 2048)  # per-image live-candidate capacities of the
+#                      fast path, tried smallest-first per batch at run
+#                      time (lax.switch). The 192-frame val asset
+#                      measured mean 311 / max 1,319 live anchors per
+#                      image: 2 of 3 b64 batches fit tier 1024
+#                      (12.3 ms), the max-holding batch takes tier 2048
+#                      (14.6 ms vs 27.2 ms reference fallback). The
+#                      fast-path cost grows with R through the width-R
+#                      top-k (1024 -> 1536 costs +1.6 ms; the K-wide NMS
+#                      and the rank sorts are ~free), so the common case
+#                      stays at the 1024 floor and heavy batches keep a
+#                      1.55x-margin capacity instead of falling back.
+#                      Measured A/B (same 3 trained-checkpoint batches):
+#                      single R=1024 mean 17.1 ms (one fallback), single
+#                      R=2048 mean 14.2 ms, tiers mean 13.1 ms.
 _FUSED_SLOTS = 192   # 128-anchor chunk budget per image (measured on the
 #                      round-3 trained checkpoint: mean 55 live chunks per
 #                      image, max 144, p99 112 — see DESIGN.md)
@@ -297,14 +312,22 @@ def _postprocess_fused(
          ascending chunk order (a 2,274-id sort, not a 291,060-score
          sort), gathers them, and top-k's the slots*128 gathered entries
          — provably every above-threshold entry when the guards hold;
-      2. guards (any violation -> lax.cond fallback to the reference
-         pipeline, so semantics are exact on EVERY input): a class
-         exceeding topk_candidates, an image exceeding R live anchors,
-         an image exceeding the chunk budget. Random-weight inputs are
-         dense and always take the fallback;
+      2. guards (checked per batch at run time, so semantics are exact
+         on EVERY input): the smallest tier R holding every image's
+         live-anchor count is lax.switch-ed in; a batch exceeding the
+         largest tier, or any image exceeding the chunk budget, takes
+         the reference pipeline. Random-weight inputs are dense and
+         always take the fallback;
       3. candidate order equals lax.top_k's tie order for free: chunks
          are gathered ascending, so flat gathered position is ascending
-         global position;
+         global position. The reference's per-class topk_candidates cap
+         is reproduced IN-path: candidates are globally score-sorted, so
+         a stable sort by class yields each class's candidates in its
+         per-class rank order (within a class, ascending global position
+         = ascending anchor index = lax.top_k's tie order); entries with
+         rank >= cap are exactly those the reference drops pre-NMS — and
+         being each class's lowest-ranked, they can never alter the keep
+         decisions of earlier candidates in greedy NMS;
       4. decode/clip only the R candidates; ONE class-offset NMS problem
          per image (torchvision batched_nms's trick, reference
          generalized_ssd.py:389) — cross-class IoU is 0, and each class's
@@ -318,28 +341,33 @@ def _postprocess_fused(
     n_chunks = n_pad // 128
     d = config.detections_per_img
     slots = min(_FUSED_SLOTS, n_chunks)
-    r = min(max(_FUSED_R, d), n, slots * 128)
+    # tier capacities after problem-size clamping (dedup: tiny configs
+    # collapse every tier to n or slots*128 — compile one branch, not
+    # two identical ones)
+    tiers = sorted({min(max(t, d), n, slots * 128) for t in _FUSED_TIERS})
     cap = min(config.topk_candidates, a)
 
     scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     fg = jnp.swapaxes(scores[..., 1:], 1, 2)        # (B, C-1, A)
     live = fg > config.score_thresh
-    per_class = jnp.sum(live, axis=2)               # (B, C-1)
-    per_img = jnp.sum(per_class, axis=1)            # (B,)
+    per_img = jnp.sum(live, axis=(1, 2))            # (B,)
     flat = jnp.where(live, fg, _NEG_INF).reshape(b, n)
     grouped = jnp.pad(flat, ((0, 0), (0, n_pad - n)),
                       constant_values=_NEG_INF).reshape(b, n_chunks, 128)
     chunk_has = jnp.any(grouped > _NEG_INF / 2, axis=2)   # (B, n_chunks)
-    use_ref = (jnp.any(per_class > cap)
-               | jnp.any(per_img > r)
-               | jnp.any(jnp.sum(chunk_has, axis=1) > slots))
+    # per_img counts ALL live anchors (conservative: entries beyond a
+    # class's rank cap can never reach the output, but masking them
+    # before the top-r selection would need full per-class ranks — the
+    # very sort this path avoids).
+    max_live = jnp.max(per_img)
+    chunk_bad = jnp.any(jnp.sum(chunk_has, axis=1) > slots)
 
     def reference(_):
         return postprocess_detections(
             cls_logits, bbox_regression, anchors, config, original_sizes,
             nms_impl=nms_impl, gather_impl=gather_impl)
 
-    def fused(_):
+    def fused(r, _):
         ids = jnp.where(chunk_has,
                         jnp.arange(n_chunks, dtype=jnp.int32)[None],
                         jnp.int32(n_chunks))
@@ -360,12 +388,28 @@ def _postprocess_fused(
             anchors, anch.reshape(-1), axis=0).reshape(b, r, 4)
         boxes = decode_boxes(deltas, anch_boxes, config.box_coder_weights)
         boxes = clip_boxes_to_image(boxes, config.size)
-        valid = sc > config.score_thresh
+        # per-class rank via stable sort by class (candidates already in
+        # global score order, so within-class order = per-class rank
+        # order); rank = position - class-segment start. Dead slots all
+        # sort after every live entry, so they can't distort live ranks.
+        posn = jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[None], (b, r))
+        cls_s, pos_s = jax.lax.sort((cls, posn), dimension=1, num_keys=1)
+        idx = jnp.arange(r, dtype=jnp.int32)[None]
+        boundary = jnp.concatenate(
+            [jnp.ones((b, 1), bool), cls_s[:, 1:] != cls_s[:, :-1]], axis=1)
+        seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0), axis=1)
+        rank_s = idx - seg_start
+        _, rank = jax.lax.sort((pos_s, rank_s), dimension=1, num_keys=1)
+        valid = (sc > config.score_thresh) & (rank < cap)
         # class-offset trick: one NMS problem per image
         offset = float(max(config.size)) + 2.0
         off = boxes + (cls.astype(jnp.float32) * offset)[..., None]
         nms_sc = jnp.where(valid, sc, _NEG_INF)
-        keep = _nms_keep(off, nms_sc, config, nms_impl, chunk=128)  # (B, R)
+        # few-problem regime (P = batch): the raised vmem_cap is the
+        # probed-safe K=2048 x chunk=128 point (see nms_keep_batch).
+        keep = _nms_keep(off, nms_sc, config, nms_impl, chunk=128,
+                         vmem_cap=262_144)  # (B, R)
         kept = jnp.where(keep, nms_sc, _NEG_INF)
         k2 = min(d, r)
         out_sc, oidx = jax.lax.top_k(kept, k2)
@@ -392,7 +436,12 @@ def _postprocess_fused(
         return {"boxes": out_boxes, "scores": out_scores,
                 "labels": out_labels, "valid": valid_out}
 
-    return jax.lax.cond(use_ref, reference, fused, operand=None)
+    # smallest tier whose capacity holds every image; past the last
+    # tier (or over the chunk budget) -> reference fallback
+    idx = sum((max_live > t).astype(jnp.int32) for t in tiers)
+    idx = jnp.where(chunk_bad, len(tiers), idx)
+    branches = [functools.partial(fused, t) for t in tiers] + [reference]
+    return jax.lax.switch(idx, branches, operand=None)
 
 
 @dataclasses.dataclass

@@ -84,12 +84,20 @@ def nms_keep_batch(
     score_threshold: float,
     chunk: int = 512,
     interpret: bool = False,
+    vmem_cap: int = 160_000,
 ) -> jnp.ndarray:
     """Greedy NMS keep mask over a batch of independent problems.
 
     Args:
       boxes: (P, K, 4) xyxy, score-sorted DESCENDING within each problem.
       scores: (P, K); entries <= score_threshold are padding.
+      vmem_cap: max k_pad * chunk product (see below). The 160,000
+        default is calibrated on the MANY-problem regime (thousands of
+        lanes, multi-step grids). Callers in the few-problem regime
+        (P <= chunk, single grid step — e.g. the fused per-image
+        postprocess at P = batch) may pass the measured-safe 262,144:
+        K=2048 x chunk=128 compiled and ran at P=64/128 on v5e
+        (5.8 MB scoped VMEM; probed 2026-08-18).
 
     Returns (P, K) bool keep mask.
     """
@@ -100,14 +108,14 @@ def nms_keep_batch(
     # output XLA may place in VMEM. k_pad * chunk = 204,800
     # (ssd300_vgg16: K=400 x 2,880 problems at chunk 512) measured 44 KB
     # OVER the 16 MB scoped limit on v5e; 155,648 (ssdlite320: K=304 x
-    # 5,888) fits with headroom. Cap the product at 160,000 — existing
+    # 5,888) fits with headroom. Cap the product at `vmem_cap` — existing
     # verified configs keep their chunk, larger-K problem sets shrink it.
-    if k_pad * chunk > 160_000:
-        fit = (160_000 // k_pad) // 128 * 128  # lane-multiple chunks only
+    if k_pad * chunk > vmem_cap:
+        fit = (vmem_cap // k_pad) // 128 * 128  # lane-multiple chunks only
         if fit == 0:
             raise ValueError(
                 f"NMS candidate width K={k} (padded {k_pad}) cannot meet "
-                "the k_pad*chunk <= 160,000 scoped-VMEM cap at any "
+                f"the k_pad*chunk <= {vmem_cap} scoped-VMEM cap at any "
                 "lane-multiple chunk; split the candidate set or use the "
                 "XLA NMS")
         chunk = min(chunk, fit)  # only ever shrink the caller's chunk

@@ -141,6 +141,25 @@ def test_fused_equals_reference_real_family_configs(name):
     _assert_equal(ref, fused)
 
 
+def test_fused_tier_selection(monkeypatch):
+    """Two-tier fast path: per-batch live-anchor maxima landing in tier
+    0, tier 1, and past the last tier (reference fallback) all reproduce
+    the reference exactly. Tiers shrunk so each regime is reachable at
+    test scale."""
+    from demonet_tpu.models import detection as det_mod
+
+    monkeypatch.setattr(det_mod, "_FUSED_TIERS", (8, 16))
+    for n_live, seed in ((5, 7), (12, 8), (24, 9)):
+        cfg, anchors, logits, deltas, rng = _setup(seed=seed)
+        for bi in range(3):
+            picks = rng.choice(120, size=n_live, replace=False)
+            for k, anchor in enumerate(picks):
+                logits[bi, anchor, 1 + k % 5] = 12.0 - 0.05 * k
+        ref, fused = _run_both(cfg, anchors, logits, deltas)
+        assert np.asarray(ref["valid"]).sum() > 0
+        _assert_equal(ref, fused)
+
+
 def test_fused_under_jit_and_tiny_capacity():
     """d > candidate width: outputs padded; jit-compiled path."""
     cfg, anchors, logits, deltas, rng = _setup(seed=6, a=40, c=3)
