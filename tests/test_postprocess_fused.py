@@ -175,3 +175,33 @@ def test_fused_under_jit_and_tiny_capacity():
     ref = postprocess_detections(jnp.asarray(logits), deltas, anchors, cfg,
                                  nms_impl="xla", gather_impl="xla")
     _assert_equal(ref, out)
+
+
+def test_fused_batch_sharded_matches_single_device():
+    """Serving-at-scale shape: batch sharded over an 8-device mesh. The
+    fused path's cross-batch reductions (max_live tier pick, chunk
+    budget guard) become collectives under SPMD; outputs must equal the
+    single-device run exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, anchors, logits, deltas, rng = _setup(seed=10, b=8)
+    for bi in range(8):
+        for _ in range(4 + bi):
+            logits[bi, rng.integers(0, 120), rng.integers(1, 6)] = \
+                10.0 + rng.random()
+    logits = jnp.asarray(logits)
+
+    f = lambda lg, dl: postprocess_detections(  # noqa: E731
+        lg, dl, anchors, cfg, nms_impl="xla", gather_impl="xla",
+        impl="fused")
+    single = jax.jit(f)(logits, deltas)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    sharded = jax.jit(f, in_shardings=(batch_sh, batch_sh))(
+        jax.device_put(logits, batch_sh), jax.device_put(deltas, batch_sh))
+    assert len(sharded["boxes"].sharding.device_set) == 8
+    _assert_equal(single, sharded)
+    ref = postprocess_detections(logits, deltas, anchors, cfg,
+                                 nms_impl="xla", gather_impl="xla")
+    _assert_equal(ref, sharded)
