@@ -120,9 +120,12 @@ def ssdlite_mnv3_key_map(reduced_tail: bool = True,
             f"extractor/trunk/blocks_{i}",
             f"backbone.features.0.{i + 1}.block", configs[i])
     # C4 block: expand at features.0.<c4+1> (a bare ConvBNActivation),
-    # remainder at features.1.0.<j> (the block[1:] slice keeps original
-    # indices shifted by -1... torch Sequential slicing REINDEXES from 0,
-    # but preserves ordering: dw, se, project -> 0, 1, 2).
+    # remainder at features.1.0.<j> where j keeps the ORIGINAL block
+    # child index — torch nn.Sequential slicing preserves the sliced
+    # children's names (block[1:] -> children still named 1, 2, 3), it
+    # does NOT reindex from 0. Verified against the real reference
+    # model's state_dict by the full-model oracle
+    # (tests/test_reference_full_model.py).
     c4cfg = configs[c4]
     assert c4cfg.expanded_channels != c4cfg.in_channels
     entries += _conv_bn(
@@ -130,14 +133,14 @@ def ssdlite_mnv3_key_map(reduced_tail: bool = True,
         f"backbone.features.0.{c4 + 1}")
     rem = f"backbone.features.1.0"
     entries += _conv_bn(
-        f"extractor/trunk/blocks_{c4}/depthwise", f"{rem}.0")
+        f"extractor/trunk/blocks_{c4}/depthwise", f"{rem}.1")
     if c4cfg.use_se:
-        entries += _se(f"extractor/trunk/blocks_{c4}/se", f"{rem}.1")
+        entries += _se(f"extractor/trunk/blocks_{c4}/se", f"{rem}.2")
         entries += _conv_bn(
-            f"extractor/trunk/blocks_{c4}/project", f"{rem}.2")
+            f"extractor/trunk/blocks_{c4}/project", f"{rem}.3")
     else:
         entries += _conv_bn(
-            f"extractor/trunk/blocks_{c4}/project", f"{rem}.1")
+            f"extractor/trunk/blocks_{c4}/project", f"{rem}.2")
     # blocks c4+1.. at features.1.<k>, k starting at 1
     for k, i in enumerate(range(c4 + 1, len(configs)), start=1):
         entries += _mnv3_block(

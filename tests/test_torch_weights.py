@@ -42,7 +42,10 @@ def test_ssdlite_mnv3_roundtrip_covers_all_params():
     # spot-check reference key layout (ssd_mobilenetv3.py:104-116)
     assert "backbone.features.0.0.0.weight" in sd       # stem conv
     assert "backbone.features.0.13.0.weight" in sd      # C4 expand conv
-    assert "backbone.features.1.0.0.0.weight" in sd     # C4 depthwise
+    # C4 depthwise: the block[1:] slice PRESERVES child names (1, 2, 3),
+    # verified against the real reference model by the full-model oracle
+    # (tests/test_reference_full_model.py)
+    assert "backbone.features.1.0.1.0.weight" in sd
     assert "backbone.extra.0.0.0.weight" in sd          # extra proj conv
     assert "head.classification_head.module_list.0.1.bias" in sd
     # torch conv layout: stem is (16, 3, 3, 3)
