@@ -13,10 +13,19 @@ Honesty notes:
     tunneled hosts — see STATUS.md).
   * vs_baseline: the reference (zhiqwang/demonet) publishes NO throughput
     numbers (BASELINE.json "published": {}), so there is no reference
-    figure to normalize against. The ratio reported here is against THIS
-    harness's first recorded run on the same class of device
-    (.bench_baseline.json, committed: 1645.3 img/s at round 1's start) —
-    i.e. self-progress, not a torch comparison.
+    figure to normalize against. The ratio reported here is the b64
+    continuity row against THIS harness's first recorded b64 run on the
+    same class of device (.bench_baseline.json, committed: 1645.3 img/s at
+    round 1's start) — i.e. self-progress, not a torch comparison.
+  * Headline batch is 128 since round 4 (the measured throughput sweet
+    spot, DESIGN.md "Batch scaling"; b256 regresses); the b64 rows remain
+    for cross-round continuity.
+  * Roofline accountability (VERDICT r3 weak #2): each timed program also
+    reports XLA's compiled cost analysis (algebraic FLOPs + HBM bytes
+    accessed) as achieved TFLOP/s, HBM GB/s, and % of the device's public
+    peak (v5e: 197 bf16 TFLOP/s, 819 GB/s). These are model-level
+    utilization numbers against XLA's own cost model — good for trend
+    regression and bound checks, not a hardware counter measurement.
 """
 
 from __future__ import annotations
@@ -29,17 +38,81 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64
+BATCH = 64            # continuity rows (rounds 1-3 headline batch)
+HEADLINE_BATCH = 128  # measured sweet spot (DESIGN.md "Batch scaling")
 WARMUP = 3
 ITERS = 20
 N_BUFFERS = 4
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+# (peak FLOP/s, peak HBM bytes/s) by device_kind prefix — public specs.
+# bf16 MXU peak; fp32 programs are reported against the same peak (the
+# MXU is bf16-native, so fp32 "MFU" deliberately shows the dtype headroom).
+_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),  # v5e
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),  # v6e
+}
 
 
 def _sync(result) -> None:
     """Force completion: fetch one element to the host."""
     leaf = jax.tree_util.tree_leaves(result)[0]
     np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def _device_peaks():
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in _PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return None
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, hbm bytes accessed) per call from the compiled program's
+    cost analysis; (0, 0) if the backend doesn't expose it."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _roofline(flops: float, hbm_bytes: float, seconds: float) -> dict:
+    """Achieved TFLOP/s + HBM GB/s (+ % of device peak when known)."""
+    out = {}
+    if flops and seconds > 0:
+        tflops = flops / seconds / 1e12
+        out["tflops"] = round(tflops, 2)
+    if hbm_bytes and seconds > 0:
+        gbs = hbm_bytes / seconds / 1e9
+        out["hbm_gb_s"] = round(gbs, 1)
+    peaks = _device_peaks()
+    if peaks:
+        peak_flops, peak_bw = peaks
+        if flops and seconds > 0:
+            out["mfu_pct"] = round(100 * flops / seconds / peak_flops, 1)
+        if hbm_bytes and seconds > 0:
+            out["hbm_util_pct"] = round(
+                100 * hbm_bytes / seconds / peak_bw, 1)
+    return out
+
+
+def _time_pipelined(f, args_list, iters=ITERS, warmup=WARMUP):
+    """Amortized seconds per call over cycled distinct input buffers."""
+    out = f(*args_list[0])
+    _sync(out)  # compile
+    for i in range(warmup):
+        out = f(*args_list[i % len(args_list)])
+    _sync(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = f(*args_list[i % len(args_list)])
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
@@ -49,26 +122,30 @@ def main() -> None:
     jf = jax.jit(fn)
 
     rng = np.random.default_rng(0)
-    inputs = [jnp.asarray(rng.random((BATCH, 320, 320, 3), np.float32))
-              for _ in range(N_BUFFERS)]
-    jax.block_until_ready(inputs)
 
-    _sync(jf(variables, inputs[0]))  # compile
-    for i in range(WARMUP):
-        out = jf(variables, inputs[i % N_BUFFERS])
-    _sync(out)
+    def make_inputs(batch):
+        return [jnp.asarray(rng.random((batch, 320, 320, 3), np.float32))
+                for _ in range(N_BUFFERS)]
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = jf(variables, inputs[i % N_BUFFERS])
-    _sync(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    throughput = BATCH / dt
+    results = {}
+
+    # e2e inference, exact reference semantics, random weights: headline
+    # b128 + continuity b64
+    infer = {}
+    for batch, key in ((HEADLINE_BATCH, "b128"), (BATCH, "b64")):
+        inputs = make_inputs(batch)
+        jax.block_until_ready(inputs)
+        dt = _time_pipelined(jf, [(variables, x) for x in inputs])
+        infer[key] = batch / dt
+        results[f"{key}_img_s"] = round(batch / dt, 2)
+        if batch == HEADLINE_BATCH:
+            fl, by = _cost_analysis(jf, variables, inputs[0])
+            results.update({f"infer_{k}": v for k, v in
+                            _roofline(fl, by, dt).items()})
 
     # batch-1 latency: per-call blocking p50 (includes host/tunnel sync) and
     # pipelined (amortized device time per inference)
-    inputs1 = [jnp.asarray(rng.random((1, 320, 320, 3), np.float32))
-               for _ in range(N_BUFFERS)]
+    inputs1 = make_inputs(1)
     _sync(jf(variables, inputs1[0]))
     lats = []
     for i in range(ITERS):
@@ -77,16 +154,12 @@ def main() -> None:
         lats.append(time.perf_counter() - t0)
     lats.sort()
     p50_ms = lats[len(lats) // 2] * 1000.0
-    t0 = time.perf_counter()
-    out1 = None
-    for i in range(ITERS):
-        out1 = jf(variables, inputs1[i % N_BUFFERS])
-    _sync(out1)
-    b1_pipelined_ms = (time.perf_counter() - t0) / ITERS * 1000.0
+    b1_pipelined_ms = _time_pipelined(
+        jf, [(variables, x) for x in inputs1]) * 1000.0
 
     # trained-weights serving numbers (VERDICT r2 weak #3): realistic
     # score sparsity — most (image, class) rows have no above-threshold
-    # candidates, the regime the chunk-skipping top-k exploits. The asset
+    # candidates, the regime the fused postprocess exploits. The asset
     # is the round-3 real-training checkpoint (tools/export_bench_weights.py).
     trained = {}
     trained_path = os.path.join(os.path.dirname(__file__), "bench_assets",
@@ -109,13 +182,18 @@ def main() -> None:
         if os.path.exists(img_asset):
             from tools.export_bench_images import load_bench_images
 
-            arr = load_bench_images(img_asset, BATCH * N_BUFFERS)
-            t_inputs = [jnp.asarray(arr[i * BATCH:(i + 1) * BATCH])
-                        for i in range(N_BUFFERS)]
+            arr = load_bench_images(img_asset, 192)
             trained["trained_input"] = "real val frames (bench asset)"
+
+            def t_inputs(batch):
+                idx = np.arange(N_BUFFERS * batch) % len(arr)
+                return [jnp.asarray(arr[idx[i * batch:(i + 1) * batch]])
+                        for i in range(N_BUFFERS)]
         else:
-            t_inputs = inputs
             trained["trained_input"] = "random (image asset missing)"
+
+            def t_inputs(batch):
+                return make_inputs(batch)
 
         def fwd(impl):
             def f(variables, images):
@@ -129,24 +207,23 @@ def main() -> None:
         # "fused" = the trained-model fast path (per-image global select +
         # one class-offset NMS problem per image) with the count-proven
         # exact fallback — see models/detection._postprocess_fused
-        for label, impl in (("trained_b64_img_s", "reference"),
-                            ("trained_fused_b64_img_s", "fused")):
-            f = fwd(impl)
-            _sync(f(tv, t_inputs[0]))
-            for i in range(WARMUP):
-                out_t = f(tv, t_inputs[i % N_BUFFERS])
-            _sync(out_t)
-            t0 = time.perf_counter()
-            for i in range(ITERS):
-                out_t = f(tv, t_inputs[i % N_BUFFERS])
-            _sync(out_t)
-            trained[label] = round(
-                BATCH / ((time.perf_counter() - t0) / ITERS), 2)
-        trained["trained_weights"] = "round-3 shapes-corpus checkpoint "\
-            "(real multi-epoch training run; see runs/ logs + TRAINRUN.md)"
+        for batch in (HEADLINE_BATCH, BATCH):
+            bufs = t_inputs(batch)
+            for label, impl in ((f"trained_b{batch}_img_s", "reference"),
+                                (f"trained_fused_b{batch}_img_s", "fused")):
+                f = fwd(impl)
+                dt = _time_pipelined(f, [(tv, x) for x in bufs])
+                trained[label] = round(batch / dt, 2)
+                if batch == HEADLINE_BATCH and impl == "fused":
+                    fl, by = _cost_analysis(f, tv, bufs[0])
+                    trained.update({f"trained_fused_{k}": v for k, v in
+                                    _roofline(fl, by, dt).items()})
+        trained["trained_weights"] = (
+            "round-3 shapes-corpus checkpoint (real multi-epoch training "
+            "run; see runs/ logs + docs/trainrun_r3/TRAINRUN.md)")
 
     # training throughput, headline config: bf16 + lane-packed early trunk,
-    # 8 optimizer steps per dispatch (engine/train.py steps_per_call —
+    # K optimizer steps per dispatch (engine/train.py steps_per_call —
     # amortizes per-step host dispatch; DESIGN.md "Multi-step dispatch")
     train = {}
     try:
@@ -158,12 +235,11 @@ def main() -> None:
         tdet = ssdlite320_mobilenet_v3_large(
             num_classes=91, dtype=jnp.bfloat16, lane_pack=True)
         tx = make_optimizer(make_lr_schedule(0.02, 100))
-        # b64 spc8: the round-3 config (cross-round continuity);
-        # b128 spc4: the round-3 batch-scaling headline (DESIGN.md
-        # "Batch scaling": bigger batches fill the chip better, b128 is
-        # the measured sweet spot — b256 regresses)
-        for tb_batch, spc, label in ((BATCH, 8, "train_bf16_lanepack_spc8"),
-                                     (128, 4, "train_bf16_lanepack_b128_spc4")):
+        # b128 spc4: the shipped config (DESIGN.md "Batch scaling" sweet
+        # spot; b256 regresses); b64 spc8: rounds 1-3 continuity config
+        for tb_batch, spc, label in (
+                (128, 4, "train_bf16_lanepack_b128_spc4"),
+                (BATCH, 8, "train_bf16_lanepack_spc8")):
             tstate = create_train_state(tdet, jax.random.PRNGKey(0), tx)
             tstep = make_train_step(tdet, steps_per_call=spc)
             tb = {
@@ -174,6 +250,10 @@ def main() -> None:
                 "gt_labels": jnp.full((spc, tb_batch, 1), 1, jnp.int32),
                 "gt_valid": jnp.ones((spc, tb_batch, 1), bool),
             }
+            cost = None
+            if tb_batch == 128:
+                # before the first call: the step donates its state args
+                cost = _cost_analysis(tstep, tstate, tb)
             tstate, _ = tstep(tstate, tb)  # compile
             _sync(tstate.params)
             for _ in range(2):
@@ -184,11 +264,58 @@ def main() -> None:
             for _ in range(t_iters):
                 tstate, _ = tstep(tstate, tb)
             _sync(tstate.params)
-            step_ms = (time.perf_counter() - t0) / (t_iters * spc) * 1000.0
-            train[f"{label}_ms_per_step"] = round(step_ms, 2)
-            train[f"{label}_img_s"] = round(tb_batch / step_ms * 1000.0, 1)
+            step_s = (time.perf_counter() - t0) / (t_iters * spc)
+            train[f"{label}_ms_per_step"] = round(step_s * 1000.0, 2)
+            train[f"{label}_img_s"] = round(tb_batch / step_s, 1)
+            if cost is not None:
+                fl, by = cost
+                train.update({f"train_b128_{k}": v for k, v in
+                              _roofline(fl / spc, by / spc, step_s).items()})
     except Exception as e:  # keep the bench line emitting on any failure
         train["train_bench_error"] = repr(e)[:200]
+
+    # second family: ssd300_vgg16 train step (VERDICT r3 item 4) — the
+    # compute-bound MXU-heavy family where MFU is meaningful. fp32 + bf16.
+    vgg = {}
+    try:
+        from demonet_tpu.engine import (
+            create_train_state, make_lr_schedule, make_optimizer,
+            make_train_step)
+        from demonet_tpu.models import ssd300_vgg16
+
+        for dtype, label in ((jnp.bfloat16, "vgg300_train_bf16_b32"),
+                             (jnp.float32, "vgg300_train_fp32_b32")):
+            vdet = ssd300_vgg16(num_classes=91, dtype=dtype)
+            tx = make_optimizer(make_lr_schedule(0.001, 100))
+            vstate = create_train_state(vdet, jax.random.PRNGKey(0), tx)
+            vstep = make_train_step(vdet)
+            vb = 32
+            batch = {
+                "images": jnp.asarray(
+                    rng.random((vb, 300, 300, 3), np.float32)),
+                "gt_boxes": jnp.tile(jnp.asarray(
+                    [[[20.0, 20.0, 120.0, 120.0]]]), (vb, 1, 1)),
+                "gt_labels": jnp.full((vb, 1), 1, jnp.int32),
+                "gt_valid": jnp.ones((vb, 1), bool),
+            }
+            fl, by = _cost_analysis(vstep, vstate, batch)
+            vstate, _ = vstep(vstate, batch)  # compile
+            _sync(vstate.params)
+            for _ in range(2):
+                vstate, _ = vstep(vstate, batch)
+            _sync(vstate.params)
+            t0 = time.perf_counter()
+            t_iters = 8
+            for _ in range(t_iters):
+                vstate, _ = vstep(vstate, batch)
+            _sync(vstate.params)
+            step_s = (time.perf_counter() - t0) / t_iters
+            vgg[f"{label}_ms_per_step"] = round(step_s * 1000.0, 2)
+            vgg[f"{label}_img_s"] = round(vb / step_s, 1)
+            vgg.update({f"{label}_{k}": v for k, v in
+                        _roofline(fl, by, step_s).items()})
+    except Exception as e:
+        vgg["vgg_bench_error"] = repr(e)[:200]
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -196,30 +323,37 @@ def main() -> None:
             with open(BASELINE_FILE) as f:
                 base = json.load(f)
             if base.get("value"):
-                vs_baseline = throughput / float(base["value"])
+                vs_baseline = infer["b64"] / float(base["value"])
         except Exception:
             pass
     else:
         try:
             with open(BASELINE_FILE, "w") as f:
-                json.dump({"value": throughput, "unit": "images/sec/chip"}, f)
+                json.dump({"value": infer["b64"],
+                           "unit": "images/sec/chip"}, f)
         except Exception:
             pass
 
     print(json.dumps({
-        "metric": "ssdlite320_mobilenet_v3_large e2e inference throughput (b64)",
-        "value": round(throughput, 2),
+        "metric": "ssdlite320_mobilenet_v3_large e2e inference throughput "
+                  "(b128)",
+        "value": round(infer["b128"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-        "vs_baseline_meaning": "ratio vs this harness's first recorded run "
-                               "(reference publishes no throughput numbers)",
+        "vs_baseline_meaning": "b64 continuity row vs this harness's first "
+                               "recorded b64 run (reference publishes no "
+                               "throughput numbers)",
         "p50_latency_b1_ms": round(p50_ms, 3),
         "b1_pipelined_ms": round(b1_pipelined_ms, 3),
-        "batch": BATCH,
+        "batch": HEADLINE_BATCH,
         "input": "fixed-seed random images",
         "device": str(jax.devices()[0]),
+        "roofline_note": "tflops/hbm from XLA compiled cost analysis vs "
+                         "public v5e peaks (197 bf16 TFLOP/s, 819 GB/s)",
+        **results,
         **trained,
         **train,
+        **vgg,
     }))
 
 

@@ -17,11 +17,16 @@ implemented from its published semantics:
     gts, no-visible-keypoint gts as ignore-regions), maxDets 20,
     all/medium/large ranges, the 10-number keypoint summary
 
-`synchronize_between_processes` merges detections across hosts by pickling
-the per-host detection dict and transporting the bytes with an array
-all-gather (same object-gather semantics as the reference, misc.py:75-115,
-with jax collectives as the transport), de-duplicating repeated image ids
-from padded sharding (reference coco_eval.py:183-184).
+`synchronize_between_processes` merges detections across hosts with a
+fixed-layout ARRAY merge — each host packs its detections into one
+contiguous numeric buffer (i64 header + img_ids/counts/boxes/scores/labels
+[+ keypoints] sections, `_pack_detections`), the buffers ride a padded
+uint8 all-gather, and every host unpacks and merges in rank order. No
+pickle anywhere (the reference pickles arbitrary objects into a ByteTensor,
+misc.py:75-115); bytes — not jax f64 arrays — are the transport because
+process_allgather would silently downcast float64 payloads when
+jax_enable_x64 is off. Repeated image ids from padded sharding de-duplicate
+last-write-wins (reference coco_eval.py:183-184 keeps unique ids).
 
 Matching is vectorized: the greedy assignment is sequential in detections
 (each choice consumes ground truths) but independent across the 10 IoU
@@ -181,6 +186,94 @@ def _iou_xyxy(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return inter / np.maximum(union, 1e-10)
 
 
+def _pack_detections(detections: Dict[int, Dict]) -> np.ndarray:
+    """Per-host detections -> one contiguous uint8 buffer, fixed layout.
+
+    Layout (little-endian, section lengths all derivable from the header):
+      header   i64[3]                 [n_img, total_dets, total_kp_floats]
+      img_ids  i64[n_img]
+      counts   i64[n_img]             detections per image
+      kp_dims  i64[n_img]             keypoints-per-instance K_i, -1 if none
+      boxes    f64[total_dets * 4]
+      scores   f64[total_dets]
+      labels   i64[total_dets]
+      kps      f64[total_kp_floats]   concat of (count_i * K_i * 3) blocks
+
+    Pickle-free and numerically exact: float64 payloads travel as raw bytes
+    (a jax f64 allgather would downcast to f32 with x64 disabled).
+    """
+    ids = sorted(detections)
+    counts, kp_dims, boxes, scores, labels, kps = [], [], [], [], [], []
+    for i in ids:
+        d = detections[i]
+        counts.append(len(d["scores"]))
+        boxes.append(np.ascontiguousarray(d["boxes"], np.float64))
+        scores.append(np.ascontiguousarray(d["scores"], np.float64))
+        labels.append(np.ascontiguousarray(d["labels"], np.int64))
+        if "keypoints" in d:
+            k = np.ascontiguousarray(d["keypoints"], np.float64)
+            kp_dims.append(k.shape[1] if k.ndim == 3 else 0)
+            kps.append(k.reshape(-1))
+        else:
+            kp_dims.append(-1)
+    total = int(np.sum(counts)) if counts else 0
+    kp_flat = (np.concatenate(kps) if kps
+               else np.zeros(0, np.float64))
+    sections = [
+        np.asarray([len(ids), total, kp_flat.size], np.int64),
+        np.asarray(ids, np.int64),
+        np.asarray(counts, np.int64),
+        np.asarray(kp_dims, np.int64),
+        (np.concatenate(boxes).reshape(-1) if boxes
+         else np.zeros(0, np.float64)),
+        (np.concatenate(scores) if scores else np.zeros(0, np.float64)),
+        (np.concatenate(labels) if labels else np.zeros(0, np.int64)),
+        kp_flat,
+    ]
+    return np.concatenate(
+        [np.frombuffer(s.astype(s.dtype.newbyteorder("<")).tobytes(),
+                       np.uint8) for s in sections])
+
+
+def _unpack_detections(buf: np.ndarray) -> Dict[int, Dict]:
+    """Inverse of `_pack_detections` (bit-exact round trip)."""
+    buf = np.ascontiguousarray(buf, np.uint8)
+    pos = [0]
+
+    def take(n, dtype):
+        d = np.dtype(dtype).newbyteorder("<")
+        out = np.frombuffer(buf[pos[0]:pos[0] + n * d.itemsize].tobytes(), d)
+        pos[0] += n * d.itemsize
+        return out.astype(dtype)
+
+    n_img, total, kp_floats = (int(x) for x in take(3, np.int64))
+    img_ids = take(n_img, np.int64)
+    counts = take(n_img, np.int64)
+    kp_dims = take(n_img, np.int64)
+    boxes = take(total * 4, np.float64).reshape(total, 4)
+    scores = take(total, np.float64)
+    labels = take(total, np.int64)
+    kps = take(kp_floats, np.float64)
+    out: Dict[int, Dict] = {}
+    off = 0
+    kp_off = 0
+    for i in range(n_img):
+        c = int(counts[i])
+        det = {
+            "boxes": boxes[off:off + c],
+            "scores": scores[off:off + c],
+            "labels": labels[off:off + c],
+        }
+        k = int(kp_dims[i])
+        if k >= 0:
+            det["keypoints"] = kps[kp_off:kp_off + c * k * 3].reshape(c, k, 3)
+            kp_off += c * k * 3
+        out[int(img_ids[i])] = det
+        off += c
+    assert off == total and kp_off == kp_floats
+    return out
+
+
 class CocoEvaluator:
     """Accumulates detections and computes COCO bbox mAP.
 
@@ -264,24 +357,22 @@ class CocoEvaluator:
 
     def synchronize_between_processes(self) -> None:
         """Merge per-host detection sets (reference coco_eval.py:52-55,
-        misc.py:75-115 — but array-native, no pickle)."""
+        misc.py:75-115 — but a fixed-layout array merge, no pickle)."""
         from demonet_tpu.parallel.dist import process_count
 
         if process_count() == 1:
             return
-        import pickle
-
         from demonet_tpu.parallel.dist import all_gather_arrays
 
-        payload = pickle.dumps(self.detections)
+        payload = _pack_detections(self.detections)
         n = np.int64(len(payload))
         sizes = all_gather_arrays(np.asarray(n))  # one collective, reused
         buf = np.zeros(int(sizes.max()), np.uint8)
-        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+        buf[:len(payload)] = payload
         bufs = all_gather_arrays(buf)
         merged: Dict[int, Dict] = {}
         for size, b in zip(sizes, bufs):
-            merged.update(pickle.loads(b[:int(size)].tobytes()))
+            merged.update(_unpack_detections(b[:int(size)]))
         self.detections = merged
 
     # ---- core evaluation ----

@@ -46,14 +46,23 @@ def _flip_keypoints(kps: np.ndarray, width: float) -> np.ndarray:
 
 
 def _resize_masks(masks: np.ndarray, nh: int, nw: int) -> np.ndarray:
-    """(N, H, W) -> (N, nh, nw) nearest-neighbor, matching the reference's
-    interpolate(..., mode bilinear) > 0.5 binarization in spirit
-    (reference transform.py:27-53 _resize_image_and_masks)."""
+    """(N, H, W) -> (N, nh, nw), EXACT parity with the reference's mask
+    resize (transform.py:58-62): torch F.interpolate with the default
+    mode='nearest' then a byte cast. Torch's nearest index map is
+    src = min(floor(dst * in/out), in-1) — asymmetric, not center-based,
+    and computed in float32 (e.g. 23 * float32(114/46) = 56.999996 -> 56,
+    where float64 gives exactly 57.0). Oracle-tested against executed torch
+    in tests/test_reference_oracle.py.
+    """
     if masks.shape[0] == 0:
         return np.zeros((0, nh, nw), masks.dtype)
     h, w = masks.shape[1:3]
-    ys = np.minimum((np.arange(nh) * (h / nh) + 0.5 * h / nh).astype(np.int64), h - 1)
-    xs = np.minimum((np.arange(nw) * (w / nw) + 0.5 * w / nw).astype(np.int64), w - 1)
+    ys = np.minimum(
+        (np.arange(nh, dtype=np.float32) * np.float32(h / nh)).astype(np.int64),
+        h - 1)
+    xs = np.minimum(
+        (np.arange(nw, dtype=np.float32) * np.float32(w / nw)).astype(np.int64),
+        w - 1)
     return masks[:, ys[:, None], xs[None, :]]
 
 

@@ -195,16 +195,39 @@ def postprocess_detections(
     impl="fused" routes through the trained-model fast path
     (_postprocess_fused below) with an exact fallback to this pipeline.
     """
-    if impl == "fused":
-        return _postprocess_fused(
-            cls_logits, bbox_regression, anchors, config, original_sizes,
-            nms_impl, gather_impl)
-    b, a, c = cls_logits.shape
     scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     boxes = decode_boxes(
         bbox_regression.astype(jnp.float32), anchors[None],
         config.box_coder_weights)
     boxes = clip_boxes_to_image(boxes, config.size)
+    if impl == "fused":
+        return _postprocess_fused(
+            scores, boxes, config, original_sizes, nms_impl, gather_impl)
+    return _postprocess_reference_core(
+        scores, boxes, config, original_sizes, nms_impl, topk_impl,
+        gather_impl)
+
+
+def _postprocess_reference_core(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    config: SSDConfig,
+    original_sizes: Optional[jnp.ndarray],
+    nms_impl: str,
+    topk_impl: str,
+    gather_impl: str,
+) -> Dict[str, jnp.ndarray]:
+    """The reference pipeline AFTER softmax/decode/clip.
+
+    Split out so the fused path's fallback branch can consume the SAME
+    hoisted softmax scores and decoded boxes as the standalone program:
+    everything in here is gathers, sorts and comparisons, which are
+    bitwise-deterministic given identical inputs — whereas float math
+    (softmax, decode) recompiled INSIDE a `lax.switch` branch fused
+    differently and once produced a 1-ulp score diff that swapped two
+    near-tied ranks (tools/diag_fused_mismatch.py, round 3).
+    """
+    b, a, c = scores.shape
 
     k = min(config.topk_candidates, a)
     fg_scores = jnp.swapaxes(scores[..., 1:], 1, 2)  # (B, C-1, A)
@@ -289,9 +312,8 @@ _FUSED_SLOTS = 192   # 128-anchor chunk budget per image (measured on the
 
 
 def _postprocess_fused(
-    cls_logits: jnp.ndarray,
-    bbox_regression: jnp.ndarray,
-    anchors: jnp.ndarray,
+    scores: jnp.ndarray,
+    all_boxes: jnp.ndarray,
     config: SSDConfig,
     original_sizes: Optional[jnp.ndarray],
     nms_impl: str,
@@ -328,14 +350,22 @@ def _postprocess_fused(
          rank >= cap are exactly those the reference drops pre-NMS — and
          being each class's lowest-ranked, they can never alter the keep
          decisions of earlier candidates in greedy NMS;
-      4. decode/clip only the R candidates; ONE class-offset NMS problem
-         per image (torchvision batched_nms's trick, reference
+      4. gathers the R candidates' pre-decoded boxes; ONE class-offset NMS
+         problem per image (torchvision batched_nms's trick, reference
          generalized_ssd.py:389) — cross-class IoU is 0, and each class's
          subsequence keeps its score order, so keep decisions equal the
          reference's per-class NMS;
       5. top detections_per_img of the kept scores.
+
+    Takes the already-softmaxed scores (B, A, C) and already-decoded+
+    clipped boxes (B, A, 4): ALL float math shared with the reference
+    pipeline is hoisted to the caller's top level, outside the
+    `lax.switch`, so the fallback branch and the standalone reference
+    program see bit-identical inputs and the branches themselves are
+    pure gather/sort/compare (kills the round-3 1-ulp branch-compilation
+    rank swap, tools/diag_fused_mismatch.py).
     """
-    b, a, c = cls_logits.shape
+    b, a, c = scores.shape
     n = (c - 1) * a
     n_pad = -(-n // 128) * 128
     n_chunks = n_pad // 128
@@ -347,7 +377,6 @@ def _postprocess_fused(
     tiers = sorted({min(max(t, d), n, slots * 128) for t in _FUSED_TIERS})
     cap = min(config.topk_candidates, a)
 
-    scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     fg = jnp.swapaxes(scores[..., 1:], 1, 2)        # (B, C-1, A)
     live = fg > config.score_thresh
     per_img = jnp.sum(live, axis=(1, 2))            # (B,)
@@ -363,9 +392,9 @@ def _postprocess_fused(
     chunk_bad = jnp.any(jnp.sum(chunk_has, axis=1) > slots)
 
     def reference(_):
-        return postprocess_detections(
-            cls_logits, bbox_regression, anchors, config, original_sizes,
-            nms_impl=nms_impl, gather_impl=gather_impl)
+        return _postprocess_reference_core(
+            scores, all_boxes, config, original_sizes, nms_impl=nms_impl,
+            topk_impl="exact", gather_impl=gather_impl)
 
     def fused(r, _):
         ids = jnp.where(chunk_has,
@@ -382,12 +411,7 @@ def _postprocess_fused(
         pos = jnp.minimum(pos, n - 1)                # pad-chunk clamp
         cls = pos // a                               # 0-based fg class
         anch = pos % a
-        deltas = _gather_rows(
-            bbox_regression.astype(jnp.float32), anch, gather_impl)
-        anch_boxes = jnp.take(
-            anchors, anch.reshape(-1), axis=0).reshape(b, r, 4)
-        boxes = decode_boxes(deltas, anch_boxes, config.box_coder_weights)
-        boxes = clip_boxes_to_image(boxes, config.size)
+        boxes = _gather_rows(all_boxes, anch, gather_impl)
         # per-class rank via stable sort by class (candidates already in
         # global score order, so within-class order = per-class rank
         # order); rank = position - class-segment start. Dead slots all

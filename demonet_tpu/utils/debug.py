@@ -121,3 +121,36 @@ def jaxpr_to_dot(fn: Callable, *example_args: Any, max_nodes: int = 400) -> str:
             lines.append(f"  {src} -> {name};")
     lines.append("}")
     return "\n".join(lines)
+
+
+def dump_hlo(fn: Callable, *example_args: Any, stage: str = "stablehlo",
+             path: str | None = None) -> str:
+    """Dump the compiler IR of `fn` at a chosen stage.
+
+    Completes the reference's compiler-graph visualization capability
+    (graph_utils.visualize renders TVM Relay IR, graph_utils.py:36-130):
+    here the compiler is XLA, so the stages are
+
+      * "jaxpr"     — the traced jaxpr (jax's own IR, pre-lowering)
+      * "stablehlo" — the lowered StableHLO module (what jax.export ships)
+      * "optimized" — post-XLA-optimization HLO for the CURRENT backend:
+                      fusions decided, layouts assigned — what actually runs
+
+    Returns the text; also writes it to `path` when given. For a graphical
+    view feed `jaxpr_to_dot` output to graphviz, or load an xprof trace.
+    """
+    if stage == "jaxpr":
+        text = str(jax.make_jaxpr(fn)(*example_args))
+    else:
+        lowered = jax.jit(fn).lower(*example_args)
+        if stage == "stablehlo":
+            text = lowered.as_text()
+        elif stage == "optimized":
+            text = lowered.compile().as_text()
+        else:
+            raise ValueError(
+                f"stage must be jaxpr|stablehlo|optimized, got {stage!r}")
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

@@ -2,6 +2,7 @@
 reference's defaults (train.py:51-103, eval_voc.py:100-148)."""
 
 import jax.numpy as jnp
+import pytest
 
 
 def test_train_parser_defaults():
@@ -95,6 +96,22 @@ def test_jaxpr_to_dot():
     dot = jaxpr_to_dot(lambda x: (x * 2 + 1).sum(), jnp.ones((4, 4)))
     assert dot.startswith("digraph")
     assert "mul" in dot and "add" in dot and "output" in dot
+
+
+def test_dump_hlo_stages(tmp_path):
+    from demonet_tpu.utils.debug import dump_hlo
+
+    fn = lambda x: (x * 2 + 1).sum()  # noqa: E731
+    x = jnp.ones((4, 4))
+    assert "mul" in dump_hlo(fn, x, stage="jaxpr")
+    shlo = dump_hlo(fn, x, stage="stablehlo",
+                    path=str(tmp_path / "m.mlir"))
+    assert "stablehlo" in shlo or "mhlo" in shlo
+    assert (tmp_path / "m.mlir").read_text() == shlo
+    opt = dump_hlo(fn, x, stage="optimized")
+    assert "fusion" in opt or "HloModule" in opt
+    with pytest.raises(ValueError):
+        dump_hlo(fn, x, stage="relay")
 
 
 def test_eval_vs_demo_score_thresholds():

@@ -368,3 +368,42 @@ def test_eval_scales_to_val2017_size():
     dt = time.monotonic() - t0
     assert stats["AP"] > -1
     assert dt < 30, f"accumulate+summarize took {dt:.1f}s"
+
+
+def test_pack_unpack_detections_roundtrip():
+    """The pickle-free merge transport is bit-exact, keypoints included."""
+    from demonet_tpu.data.coco_eval import _pack_detections, _unpack_detections
+
+    rng = np.random.default_rng(3)
+    dets = {}
+    for img_id in (3, 17, 200000):
+        n = int(rng.integers(0, 6))
+        dets[img_id] = {
+            "boxes": rng.random((n, 4)) * 640,
+            "scores": rng.random(n),
+            "labels": rng.integers(1, 91, n).astype(np.int64),
+        }
+    # one image with keypoints, one with zero detections
+    dets[42] = {
+        "boxes": rng.random((2, 4)) * 640,
+        "scores": rng.random(2),
+        "labels": np.asarray([1, 1], np.int64),
+        "keypoints": rng.random((2, 17, 3)),
+    }
+    buf = _pack_detections(dets)
+    assert buf.dtype == np.uint8
+    out = _unpack_detections(buf)
+    assert sorted(out) == sorted(dets)
+    for img_id, d in dets.items():
+        for key, v in d.items():
+            got = out[img_id][key]
+            assert got.dtype == np.asarray(v).dtype or key != "labels"
+            np.testing.assert_array_equal(
+                got, np.asarray(v, got.dtype), err_msg=f"{img_id}/{key}")
+    assert "keypoints" in out[42] and "keypoints" not in out[3]
+
+
+def test_pack_unpack_detections_empty():
+    from demonet_tpu.data.coco_eval import _pack_detections, _unpack_detections
+
+    assert _unpack_detections(_pack_detections({})) == {}

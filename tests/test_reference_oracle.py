@@ -798,3 +798,43 @@ def test_postprocess_detections_matches_reference(
         np.testing.assert_allclose(
             np.asarray(got["boxes"][i][m]), ref[i]["boxes"].numpy(),
             rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Mask resize (reference transform.py:58-62: F.interpolate default
+# mode='nearest' on the float mask, then .byte()) vs data/transforms.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [
+    (13, 17, 20, 30), (320, 320, 20, 20), (7, 5, 320, 300),
+    (100, 50, 50, 100), (33, 47, 64, 64), (512, 512, 17, 19),
+    (3, 3, 9, 9), (1, 1, 4, 4), (29, 31, 29, 31), (300, 300, 300, 300),
+])
+def test_resize_masks_matches_reference_torch_nearest(shape):
+    from demonet_tpu.data.transforms import _resize_masks
+
+    h, w, nh, nw = shape
+    rng = np.random.default_rng(h * 1000 + nh)
+    masks = (rng.random((3, h, w)) > 0.5).astype(np.uint8)
+    # the reference's exact call: interpolate(mask[:, None].float(),
+    # size=size)[:, 0].byte()  (transform.py:58-62; default mode='nearest')
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(masks)[:, None].float(),
+        size=[nh, nw])[:, 0].byte().numpy()
+    got = _resize_masks(masks, nh, nw)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_masks_fuzz_matches_reference_torch_nearest():
+    from demonet_tpu.data.transforms import _resize_masks
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        h, w = int(rng.integers(1, 160)), int(rng.integers(1, 160))
+        nh, nw = int(rng.integers(1, 160)), int(rng.integers(1, 160))
+        masks = (rng.random((2, h, w)) > 0.5).astype(np.uint8)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(masks)[:, None].float(),
+            size=[nh, nw])[:, 0].byte().numpy()
+        np.testing.assert_array_equal(_resize_masks(masks, nh, nw), ref,
+                                      err_msg=f"{(h, w, nh, nw)}")

@@ -40,71 +40,6 @@ def main(args) -> int:
     return rc
 
 
-def _iou_1_many(a, bs):
-    x1 = np.maximum(a[0], bs[:, 0]); y1 = np.maximum(a[1], bs[:, 1])
-    x2 = np.minimum(a[2], bs[:, 2]); y2 = np.minimum(a[3], bs[:, 3])
-    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
-    area_a = (a[2] - a[0]) * (a[3] - a[1])
-    area_b = (bs[:, 2] - bs[:, 0]) * (bs[:, 3] - bs[:, 1])
-    union = area_a + area_b - inter
-    return inter / np.where(union > 0, union, 1.0)
-
-
-def _boundary_flip_ok(det, others, nms_thresh, tol=1e-5) -> bool:
-    """True iff `det` (score, label, box) sits on an NMS suppression
-    boundary against `others` (the other impl's kept dets): some kept
-    same-class higher-scored det has IoU within `tol` of nms_thresh.
-    Such a det's keep/suppress decision legitimately flips with 1-ulp
-    IoU rounding differences between backends/program contexts
-    (measured: a pair at |IoU - 0.55| = 6.6e-7 flipped between the CPU
-    and TPU compilations of the REFERENCE pipeline itself)."""
-    s, l, b = det
-    m = (others["labels"] == l) & (others["scores"] >= s - tol)
-    if not m.any():
-        return False
-    ious = _iou_1_many(b.astype(np.float64),
-                       others["boxes"][m].astype(np.float64))
-    return bool(np.any(np.abs(ious - nms_thresh) <= tol))
-
-
-def _set_match_ok(ref, fus, batch, nms_thresh, tol=1e-5) -> bool:
-    """Order-insensitive per-image detection match: greedily pair each
-    fused det with an unused ref det of the same label, |dscore| <= tol,
-    box within atol 1e-3. Dets that fail to pair (in either direction)
-    are accepted ONLY if they sit on an NMS-threshold IoU boundary
-    (_boundary_flip_ok); anything else fails."""
-    excused = 0
-    for i in range(batch):
-        rm, fm = ref["valid"][i], fus["valid"][i]
-        rs, fs = ref["scores"][i][rm], fus["scores"][i][fm]
-        rl, fl = ref["labels"][i][rm], fus["labels"][i][fm]
-        rb, fb = ref["boxes"][i][rm], fus["boxes"][i][fm]
-        used = np.zeros(len(rs), bool)
-        ref_kept = {"scores": rs, "labels": rl, "boxes": rb}
-        fus_kept = {"scores": fs, "labels": fl, "boxes": fb}
-        for p in range(len(fs)):
-            cand = np.nonzero(
-                ~used & (rl == fl[p]) & (np.abs(rs - fs[p]) <= tol)
-                & (np.abs(rb - fb[p]).max(axis=-1)
-                   <= 1e-3 + 1e-5 * np.abs(fb[p]).max()))[0]
-            if len(cand):
-                used[cand[0]] = True
-            elif _boundary_flip_ok((fs[p], fl[p], fb[p]), ref_kept,
-                                   nms_thresh, tol):
-                excused += 1
-            else:
-                return False
-        for q in np.nonzero(~used)[0]:
-            if _boundary_flip_ok((rs[q], rl[q], rb[q]), fus_kept,
-                                 nms_thresh, tol):
-                excused += 1
-            else:
-                return False
-    if excused:
-        print(f"  ({excused} boundary-IoU suppression flips excused)")
-    return True
-
-
 def check_model(model_name: str, b: int, args) -> int:
     assert jax.default_backend() == "tpu", jax.default_backend()
     from demonet_tpu.models import get_model
@@ -164,42 +99,27 @@ def check_model(model_name: str, b: int, args) -> int:
     ok = True
     for i, buf in enumerate(bufs):
         ref, fus = jax.device_get(jboth(v, buf))
+        # BITWISE gate in BOTH regimes (trained fast branch AND dense
+        # random-weights fallback branch): since round 4 every shared
+        # float quantity (softmax scores, decoded+clipped boxes) is
+        # hoisted OUT of the lax.switch to the program top level, so the
+        # fallback branch and the reference pipeline consume identical
+        # inputs and the branches are pure gather/sort/compare. The
+        # round-3 tolerance carve-out (1-ulp branch-compilation score
+        # rounding, tools/diag_fused_mismatch.py) is fixed at the source,
+        # not excused here.
         val_eq = bool((ref["valid"] == fus["valid"]).all())
-        # scores: the trained path exercises the fused FAST branch, which
-        # is exact-by-construction -> gate on bitwise equality there. On
-        # random weights the candidates are dense and the lax.cond
-        # FALLBACK branch executes; XLA may compile that in-program copy
-        # of the reference pipeline with different fusion rounding than
-        # the standalone reference program (~1e-7), so gate on a tight
-        # allclose and report exactness separately.
-        sc_eq = sc_close = lb_eq = bx_close = False
+        sc_eq = lb_eq = bx_eq = False
         if val_eq:
             m = ref["valid"]
             sc_eq = bool((ref["scores"][m] == fus["scores"][m]).all())
-            sc_close = bool(np.allclose(ref["scores"][m], fus["scores"][m],
-                                        rtol=1e-5, atol=1e-7))
             lb_eq = bool((ref["labels"][m] == fus["labels"][m]).all())
-            bx_close = bool(np.allclose(ref["boxes"][m], fus["boxes"][m],
-                                        rtol=1e-5, atol=1e-3))
+            bx_eq = bool((ref["boxes"][m] == fus["boxes"][m]).all())
         n = int(ref["valid"].sum())
-        strict = val_eq and (sc_eq if trained else sc_close) \
-            and lb_eq and bx_close
-        # Non-strict regimes: (a) the cond fallback branch can round
-        # scores one ulp differently from the standalone reference
-        # program (measured max 6e-8 — tools/diag_fused_mismatch.py,
-        # ssd512_vgg16), so NEAR-TIED detections may swap adjacent
-        # ranks; (b) a pairwise IoU within ~1 ulp of nms_thresh flips a
-        # suppression decision between backends/program contexts
-        # (measured |IoU-0.55| = 6.6e-7 with a bf16 trunk — the
-        # REFERENCE pipeline itself flips CPU vs TPU there). Gate with
-        # the tolerance-aware per-image set match; unpairable dets are
-        # accepted only as boundary-IoU suppression flips.
-        set_ok = strict or _set_match_ok(ref, fus, b, det.config.nms_thresh)
+        strict = val_eq and sc_eq and lb_eq and bx_eq
         print(f"batch {i}: dets={n} valid_eq={val_eq} scores_eq={sc_eq} "
-              f"scores_close={sc_close} labels_eq={lb_eq} "
-              f"boxes_close={bx_close}"
-              + ("" if strict else f" set_match_ok={set_ok}"))
-        ok &= set_ok
+              f"labels_eq={lb_eq} boxes_eq={bx_eq}")
+        ok &= strict
 
     def _sync(out):
         np.asarray(jax.device_get(
