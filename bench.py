@@ -235,10 +235,11 @@ def main() -> None:
         tdet = ssdlite320_mobilenet_v3_large(
             num_classes=91, dtype=jnp.bfloat16, lane_pack=True)
         tx = make_optimizer(make_lr_schedule(0.02, 100))
-        # b128 spc4: the shipped config (DESIGN.md "Batch scaling" sweet
-        # spot; b256 regresses); b64 spc8: rounds 1-3 continuity config
+        # b128 spc8: the shipped config (DESIGN.md "Batch scaling" sweet
+        # spot, b256 regresses; spc8 measured 39.58 vs spc4 39.82 ms);
+        # b64 spc8: rounds 1-3 continuity config
         for tb_batch, spc, label in (
-                (128, 4, "train_bf16_lanepack_b128_spc4"),
+                (128, 8, "train_bf16_lanepack_b128_spc8"),
                 (BATCH, 8, "train_bf16_lanepack_spc8")):
             tstate = create_train_state(tdet, jax.random.PRNGKey(0), tx)
             tstep = make_train_step(tdet, steps_per_call=spc)

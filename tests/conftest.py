@@ -70,6 +70,8 @@ _SLOW_NODE_PATTERNS = (
     "test_stem_s2d_model_equivalence_and_variable_tree",
     "test_stem_s2d_mnv2_equivalence",
     "test_train_cli_lane_pack_fused_wiring",
+    "test_train_cli_npz_weights",
+    "test_voc_pipeline_end_to_end",
     "test_export_fused_postprocess_roundtrip",
     "test_export_roundtrip_parity",
     "test_predict_cli_main",
