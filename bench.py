@@ -218,6 +218,30 @@ def main() -> None:
                     fl, by = _cost_analysis(f, tv, bufs[0])
                     trained.update({f"trained_fused_{k}": v for k, v in
                                     _roofline(fl, by, dt).items()})
+
+        # serving-grade bf16 trunk (postprocess stays fp32 per the
+        # precision policy; outputs are not bitwise vs the fp32 trunk —
+        # this is the deploy-throughput row, the fp32 rows above are the
+        # exactness-gated ones). The analytic HBM floor halves in bf16
+        # (tools/roofline_report.py), so this is the fastest shipped
+        # serving config.
+        try:
+            det16 = ssdlite320_mobilenet_v3_large(
+                num_classes=91, dtype=jnp.bfloat16)
+
+            def f16(variables, images):
+                x = preprocess(images, det16.config, resize=False)
+                out = det16.model.apply(variables, x, train=False)
+                return postprocess_detections(
+                    out["cls_logits"], out["bbox_regression"], anchors,
+                    det16.config, impl="fused")
+            jf16 = jax.jit(f16)
+            bufs = t_inputs(HEADLINE_BATCH)
+            dt = _time_pipelined(jf16, [(tv, x) for x in bufs])
+            trained[f"trained_fused_bf16_b{HEADLINE_BATCH}_img_s"] = round(
+                HEADLINE_BATCH / dt, 2)
+        except Exception as e:
+            trained["bf16_serving_error"] = repr(e)[:200]
         trained["trained_weights"] = (
             "round-3 shapes-corpus checkpoint (real multi-epoch training "
             "run; see runs/ logs + docs/trainrun_r3/TRAINRUN.md)")
@@ -350,7 +374,11 @@ def main() -> None:
         "input": "fixed-seed random images",
         "device": str(jax.devices()[0]),
         "roofline_note": "tflops/hbm from XLA compiled cost analysis vs "
-                         "public v5e peaks (197 bf16 TFLOP/s, 819 GB/s)",
+                         "public v5e peaks (197 bf16 TFLOP/s, 819 GB/s); "
+                         "'bytes accessed' is the cost model's op-level "
+                         "count, so hbm_util_pct > 100 means fused reuse "
+                         "overcounting, not physics — see "
+                         "tools/roofline_report.py for the analytic floor",
         **results,
         **trained,
         **train,
