@@ -377,13 +377,18 @@ def _postprocess_fused(
     tiers = sorted({min(max(t, d), n, slots * 128) for t in _FUSED_TIERS})
     cap = min(config.topk_candidates, a)
 
-    fg = jnp.swapaxes(scores[..., 1:], 1, 2)        # (B, C-1, A)
-    live = fg > config.score_thresh
+    # Guard computation kept OUTSIDE the lax.switch is reductions only
+    # (per-image live count, per-chunk liveness): XLA fuses them into
+    # one pass over the scores without materializing any (B, n_pad)
+    # intermediate. The big padded/flattened score copies are rebuilt
+    # INSIDE the fused branches so the dense fallback never pays for
+    # them (measured: the fallback regime used to trail the standalone
+    # reference program by the cost of exactly these copies).
+    live = jnp.swapaxes(scores[..., 1:], 1, 2) > config.score_thresh
     per_img = jnp.sum(live, axis=(1, 2))            # (B,)
-    flat = jnp.where(live, fg, _NEG_INF).reshape(b, n)
-    grouped = jnp.pad(flat, ((0, 0), (0, n_pad - n)),
-                      constant_values=_NEG_INF).reshape(b, n_chunks, 128)
-    chunk_has = jnp.any(grouped > _NEG_INF / 2, axis=2)   # (B, n_chunks)
+    chunk_has = jnp.any(jnp.pad(
+        live.reshape(b, n), ((0, 0), (0, n_pad - n))
+    ).reshape(b, n_chunks, 128), axis=2)            # (B, n_chunks) bool
     # per_img counts ALL live anchors (conservative: entries beyond a
     # class's rank cap can never reach the output, but masking them
     # before the top-r selection would need full per-class ranks — the
@@ -397,6 +402,16 @@ def _postprocess_fused(
             topk_impl="exact", gather_impl=gather_impl)
 
     def fused(r, _):
+        # Rebuilt here (not captured from outside the switch): where/pad/
+        # reshape are pure data movement + comparison, so recomputing them
+        # per branch is bit-identical — and the fallback branch never
+        # materializes these (B, n_pad) arrays.
+        fg = jnp.swapaxes(scores[..., 1:], 1, 2)    # (B, C-1, A)
+        flat = jnp.where(
+            fg > config.score_thresh, fg, _NEG_INF).reshape(b, n)
+        grouped = jnp.pad(flat, ((0, 0), (0, n_pad - n)),
+                          constant_values=_NEG_INF).reshape(
+                              b, n_chunks, 128)
         ids = jnp.where(chunk_has,
                         jnp.arange(n_chunks, dtype=jnp.int32)[None],
                         jnp.int32(n_chunks))
