@@ -301,6 +301,8 @@ def main() -> None:
 
     # second family: ssd300_vgg16 train step (VERDICT r3 item 4) — the
     # compute-bound MXU-heavy family where MFU is meaningful. fp32 + bf16.
+    # spc8 like the ssdlite rows (DESIGN.md "VGG train step": bf16
+    # 59.42 -> 59.06 ms, fp32 85.61 -> 84.39 ms, never worse).
     vgg = {}
     try:
         from demonet_tpu.engine import (
@@ -313,15 +315,16 @@ def main() -> None:
             vdet = ssd300_vgg16(num_classes=91, dtype=dtype)
             tx = make_optimizer(make_lr_schedule(0.001, 100))
             vstate = create_train_state(vdet, jax.random.PRNGKey(0), tx)
-            vstep = make_train_step(vdet)
+            vspc = 8
+            vstep = make_train_step(vdet, steps_per_call=vspc)
             vb = 32
             batch = {
                 "images": jnp.asarray(
-                    rng.random((vb, 300, 300, 3), np.float32)),
+                    rng.random((vspc, vb, 300, 300, 3), np.float32)),
                 "gt_boxes": jnp.tile(jnp.asarray(
-                    [[[20.0, 20.0, 120.0, 120.0]]]), (vb, 1, 1)),
-                "gt_labels": jnp.full((vb, 1), 1, jnp.int32),
-                "gt_valid": jnp.ones((vb, 1), bool),
+                    [[[[20.0, 20.0, 120.0, 120.0]]]]), (vspc, vb, 1, 1)),
+                "gt_labels": jnp.full((vspc, vb, 1), 1, jnp.int32),
+                "gt_valid": jnp.ones((vspc, vb, 1), bool),
             }
             fl, by = _cost_analysis(vstep, vstate, batch)
             vstate, _ = vstep(vstate, batch)  # compile
@@ -334,11 +337,11 @@ def main() -> None:
             for _ in range(t_iters):
                 vstate, _ = vstep(vstate, batch)
             _sync(vstate.params)
-            step_s = (time.perf_counter() - t0) / t_iters
+            step_s = (time.perf_counter() - t0) / (t_iters * vspc)
             vgg[f"{label}_ms_per_step"] = round(step_s * 1000.0, 2)
             vgg[f"{label}_img_s"] = round(vb / step_s, 1)
             vgg.update({f"{label}_{k}": v for k, v in
-                        _roofline(fl, by, step_s).items()})
+                        _roofline(fl / vspc, by / vspc, step_s).items()})
     except Exception as e:
         vgg["vgg_bench_error"] = repr(e)[:200]
 

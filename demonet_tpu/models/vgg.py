@@ -28,7 +28,14 @@ _xavier = nn.initializers.xavier_uniform()
 def max_pool_torch(
     x: jnp.ndarray, k: int, s: int, padding: int = 0, ceil_mode: bool = False
 ) -> jnp.ndarray:
-    """torch-style MaxPool2d on NHWC with optional ceil_mode (static shapes)."""
+    """torch-style MaxPool2d on NHWC with optional ceil_mode (static shapes).
+
+    Keeps the stock `reduce_window` path (whose VJP is SelectAndScatter)
+    on purpose: the dense first-max-mask backward in ops/pool.py is
+    bit-equal and looks cheaper op-for-op, but measured 26 ms SLOWER in
+    the composed ssd300 train step — see the negative result recorded
+    there and in DESIGN.md "VGG train step".
+    """
     pads: List[Tuple[int, int]] = []
     for dim in x.shape[1:3]:
         lo, hi = padding, padding
