@@ -99,9 +99,11 @@ def _ssd_vgg16(
     size: Tuple[int, int],
     highres: bool,
     dtype: Any,
+    lane_pack: bool = False,
     **config_overrides: Any,
 ) -> Detector:
-    extractor = VGG16SSDExtractor(highres=highres, dtype=dtype)
+    extractor = VGG16SSDExtractor(highres=highres, dtype=dtype,
+                                  lane_pack=lane_pack)
     if highres:
         # SSD512 config per the SSD paper (7 maps).
         aspect_ratios = [[2], [2, 3], [2, 3], [2, 3], [2, 3], [2], [2]]
@@ -127,15 +129,23 @@ def _ssd_vgg16(
 
 
 def ssd300_vgg16(num_classes: int = 91, dtype: Any = jnp.float32,
+                 lane_pack: bool = False,
                  **config_overrides: Any) -> Detector:
-    """Classic SSD300-VGG16 (reference ssd_vgg16.py:139-213)."""
-    return _ssd_vgg16(num_classes, (300, 300), False, dtype, **config_overrides)
+    """Classic SSD300-VGG16 (reference ssd_vgg16.py:139-213).
+
+    lane_pack: run the C=64 block in the lane-packed layout
+    (ops/lane_pack.py) — a training-throughput knob with an identical
+    variable tree (DESIGN.md "Lane-packed VGG block 1")."""
+    return _ssd_vgg16(num_classes, (300, 300), False, dtype,
+                      lane_pack=lane_pack, **config_overrides)
 
 
 def ssd512_vgg16(num_classes: int = 91, dtype: Any = jnp.float32,
+                 lane_pack: bool = False,
                  **config_overrides: Any) -> Detector:
     """SSD512-VGG16 via the highres extras (reference ssd_vgg16.py:74-81)."""
-    return _ssd_vgg16(num_classes, (512, 512), True, dtype, **config_overrides)
+    return _ssd_vgg16(num_classes, (512, 512), True, dtype,
+                      lane_pack=lane_pack, **config_overrides)
 
 
 def ssd_lite_mobilenet_v2(

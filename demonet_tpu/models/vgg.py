@@ -58,11 +58,42 @@ def _conv(name: str, features: int, kernel: int = 3, stride: int = 1,
         kernel_init=init, use_bias=True, dtype=dtype, name=name)
 
 
+class _PackedConv(nn.Module):
+    """A 3x3 same-pad conv computed in the lane-packed W layout
+    (ops/lane_pack.conv_dense_packed) with the IDENTICAL variable tree as
+    the nn.Conv it replaces ({kernel (3,3,CI,CO), bias (CO,)}, same
+    inits), so checkpoints and weight converters are layout-agnostic."""
+
+    features: int
+    in_features: int
+    pack: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from demonet_tpu.ops.lane_pack import conv_dense_packed
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = conv_dense_packed(x.astype(self.dtype),
+                              kernel.astype(self.dtype), self.pack)
+        return y + jnp.tile(bias, self.pack).astype(y.dtype)
+
+
 class VGG16SSDExtractor(nn.Module):
     """VGG16 trunk + SSD extras. Call returns the multi-scale feature list."""
 
     highres: bool = False
     dtype: Dtype = jnp.float32
+    # run block 1 (the C=64 stage at full resolution) in the lane-packed
+    # W layout: its convs half-fill the 128-wide lanes and measure at
+    # 30-45% MXU efficiency (DESIGN.md "Lane-packed VGG block 1") —
+    # packing p=2 trades 2x FLOPs for full lane fill. Identical variable
+    # tree; numerics equal up to XLA conv summation order.
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
@@ -71,9 +102,18 @@ class VGG16SSDExtractor(nn.Module):
         c = lambda n, ch, **kw: _conv(n, ch, dtype=self.dtype, **kw)  # noqa: E731
 
         # --- VGG trunk through conv4_3 (reference ssd_vgg16.py:43-45) ---
-        x = relu(c("conv1_1", 64)(x))
-        x = relu(c("conv1_2", 64)(x))
-        x = max_pool_torch(x, 2, 2)
+        if self.lane_pack:
+            from demonet_tpu.ops.lane_pack import pack, packed_pool_2x2
+            x = pack(x, 2)  # free reshape: (B, H, W/2, 6)
+            x = relu(_PackedConv(64, 3, 2, self.dtype, name="conv1_1")(x))
+            x = relu(_PackedConv(64, 64, 2, self.dtype, name="conv1_2")(x))
+            # 2x2/s2 pool = slot max + H-pair max; lands UNPACKED at
+            # (B, H/2, W/2, 64), where block 2's C=128 fills lanes fully
+            x = packed_pool_2x2(x, 64)
+        else:
+            x = relu(c("conv1_1", 64)(x))
+            x = relu(c("conv1_2", 64)(x))
+            x = max_pool_torch(x, 2, 2)
         x = relu(c("conv2_1", 128)(x))
         x = relu(c("conv2_2", 128)(x))
         x = max_pool_torch(x, 2, 2)

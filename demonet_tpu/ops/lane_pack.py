@@ -167,3 +167,79 @@ def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
     # (ka, kb, u, v, c, o) -> (ka, kb, (u, v, c), o): the (u, v, c)
     # flattening matches space_to_depth's channel order
     return k2.reshape(2, 2, 4 * c, o)
+
+
+# ---------------------------------------------------------------------------
+# Dense 3x3 convs over the packed-W layout (the VGG trunk's early block)
+# ---------------------------------------------------------------------------
+
+
+def packed_dense_kernel(kernel: jnp.ndarray, p: int,
+                        stride: int = 1) -> jnp.ndarray:
+    """Dense (KH, 3, CI, CO) -> (KH, 3, p*CI, p*CO) over packed W.
+
+    Same mapping as packed_dw_kernel but with full channel-mixing blocks:
+    output pixel slot j, W tap dx reads input pixel q = stride*j + dx,
+    living at pack offset q // p, slot q % p — so block
+    (da = q//p, j_in = q%p, j_out = j) carries the true (KH, CI, CO) tap
+    kernel[:, dx + 1]. Distinct (j, dx) map to distinct blocks, all others
+    stay zero: the MXU computes the zero blocks anyway (p-fold FLOP
+    inflation of this layer) but the lane fill goes from CI/128, CO/128
+    to p*CI/128, p*CO/128 — the trade DESIGN.md "Lane-packed VGG block 1"
+    measures. Used for the C=64 VGG stage (demonet/models/ssd_vgg16.py:43,
+    the reference's conv1_1/conv1_2 at 300x300).
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kw == 3, kw
+    big = jnp.zeros((kh, 3, p * ci, p * co), kernel.dtype)
+    for j in range(p):
+        for dx in (-1, 0, 1):
+            q = stride * j + dx
+            da, j_in = q // p, q % p
+            assert -1 <= da <= 1, (p, stride, j, dx)
+            big = big.at[:, da + 1,
+                         j_in * ci:(j_in + 1) * ci,
+                         j * co:(j + 1) * co].set(kernel[:, dx + 1])
+    return big
+
+
+def conv_dense_packed(x: jnp.ndarray, kernel: jnp.ndarray, p: int,
+                      stride: int = 1) -> jnp.ndarray:
+    """Packed x (B, H, Wp, p*CI) @ dense 3x3 kernel (KH, 3, CI, CO).
+
+    H keeps the pixel-level stride and same-padding; packed W uses a
+    3-pack window at pack-level stride with 1-pack zero padding. The
+    extra zero PIXEL that 1-pack padding implies beyond the true 1-pixel
+    same-padding is never read: no (j, dx) tap maps to slot 0 of pack -1
+    or slot p-1 of the last pack + 1 (see packed_dense_kernel's mapping).
+    """
+    kh = kernel.shape[0]
+    ph = (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, packed_dense_kernel(kernel, p, stride).astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((ph, ph), (1, 1)), dimension_numbers=_DN)
+
+
+def packed_pool_2x2(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """2x2 stride-2 max pool on a p=2 packed map: (B, H, W/2, 2C) ->
+    (B, H/2, W/2, C) — directly in the UNPACKED pixel layout, because each
+    pack holds exactly one pool window's W extent.
+
+    Slot max FIRST (ties -> left pixel via where), then the H pair via
+    reduce_window: composed gradient routing is first-maximum in row-major
+    scan order — identical to SelectAndScatter's on the 2x2 window, so the
+    packed trunk trains with the same tie semantics as the standard one
+    (pinned in tests/test_vgg_lane_pack.py). The W half is pure
+    elementwise; only the cheap (2, 1) window keeps a SelectAndScatter
+    backward.
+    """
+    b, h, wp, pc = x.shape
+    assert pc == 2 * c and h % 2 == 0, (x.shape, c)
+    a, bb = x[..., :c], x[..., c:]
+    row = jnp.where(a >= bb, a, bb)
+    return jax.lax.reduce_window(
+        row, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min,
+        jax.lax.max, window_dimensions=(1, 2, 1, 1),
+        window_strides=(1, 2, 1, 1), padding=((0, 0),) * 4)
