@@ -351,9 +351,11 @@ class CocoEvaluator:
             elif self.iou_type == "keypoints":
                 raise ValueError("iou_type='keypoints' detections need a "
                                  "'keypoints' field")
-            # last write wins; dedup of repeated ids from padded distributed
-            # sharding (reference coco_eval.py:183-184 keeps unique ids)
-            self.detections[img_id] = det
+            # first wins: the reference keeps the FIRST occurrence of a
+            # duplicate image id (np.unique over the accumulated list,
+            # coco_eval.py:183-184); duplicates come from padded
+            # distributed sharding
+            self.detections.setdefault(img_id, det)
 
     def synchronize_between_processes(self) -> None:
         """Merge per-host detection sets (reference coco_eval.py:52-55,
@@ -372,7 +374,14 @@ class CocoEvaluator:
         bufs = all_gather_arrays(buf)
         merged: Dict[int, Dict] = {}
         for size, b in zip(sizes, bufs):
-            merged.update(_unpack_detections(b[:int(size)]))
+            # first-wins across ranks: the reference keeps the FIRST
+            # occurrence of a duplicate image id (np.unique,
+            # coco_eval.py:183-184). Duplicates here come from padded
+            # distributed sharding and carry identical predictions per
+            # host, but hosts compiled separately could differ in ulps —
+            # match the reference's de-dup order exactly.
+            for img_id, det in _unpack_detections(b[:int(size)]).items():
+                merged.setdefault(img_id, det)
         self.detections = merged
 
     # ---- core evaluation ----

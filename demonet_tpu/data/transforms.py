@@ -58,10 +58,12 @@ def _resize_masks(masks: np.ndarray, nh: int, nw: int) -> np.ndarray:
         return np.zeros((0, nh, nw), masks.dtype)
     h, w = masks.shape[1:3]
     ys = np.minimum(
-        (np.arange(nh, dtype=np.float32) * np.float32(h / nh)).astype(np.int64),
+        (np.arange(nh, dtype=np.float32)
+         * (np.float32(h) / np.float32(nh))).astype(np.int64),
         h - 1)
     xs = np.minimum(
-        (np.arange(nw, dtype=np.float32) * np.float32(w / nw)).astype(np.int64),
+        (np.arange(nw, dtype=np.float32)
+         * (np.float32(w) / np.float32(nw))).astype(np.int64),
         w - 1)
     return masks[:, ys[:, None], xs[None, :]]
 

@@ -233,6 +233,15 @@ def packed_pool_2x2(x: jnp.ndarray, c: int) -> jnp.ndarray:
     (pinned in tests/test_vgg_lane_pack.py). The W half is pure
     elementwise; only the cheap (2, 1) window keeps a SelectAndScatter
     backward.
+
+    NaN caveat (documented divergence, same class as ops/pool.py's): the
+    W-pair `where(a >= b)` picks the RIGHT pixel when the left is NaN
+    (NaN >= x is false), so a NaN left-pixel activation is dropped where
+    the standard path's lax.max would propagate it. jnp.maximum would
+    propagate NaN but break the left-pixel tie routing the backward's
+    SelectAndScatter-equality depends on. Unreachable in practice:
+    training aborts on non-finite loss (engine/train.py) before a NaN
+    activation matters, and the lane_pack=True trunk is a training knob.
     """
     b, h, wp, pc = x.shape
     assert pc == 2 * c and h % 2 == 0, (x.shape, c)

@@ -40,9 +40,11 @@ backward drops its gradient (NaN == NaN is false) where SelectAndScatter
 would route it to the first element; training aborts on non-finite loss
 (engine/train.py) long before a NaN gradient matters.
 
-Overlapping pools (e.g. the SSD-modified pool5, 3x3 stride 1) keep the
-standard path — `max_pool_torch` in models/vgg.py dispatches here only
-when stride == kernel.
+NO caller routes through this module (it is a kept negative result):
+models/vgg.py::max_pool_torch deliberately stays on the stock
+reduce_window path for every pool. Were it ever revived, it applies
+only when stride == kernel; overlapping pools (e.g. the SSD-modified
+pool5, 3x3 stride 1) have no dense-elementwise formulation.
 """
 
 from __future__ import annotations
