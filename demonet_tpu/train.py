@@ -83,6 +83,12 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
                         help="ship images host->device as uint8 (1/4 the "
                              "bytes) and rescale to [0,1] on device; "
                              "quantizes augmented pixels to 8-bit")
+    parser.add_argument("--score-thresh", default=None, type=float,
+                        help="override the builder's postprocess score "
+                             "threshold (a builder kwarg in the reference, "
+                             "generalized_ssd.py:158 — the v0 families "
+                             "default to demo-grade 0.5, too high for mAP "
+                             "evaluation)")
     parser.add_argument("--test-only", dest="test_only", action="store_true")
     parser.add_argument("--pretrained", action="store_true",
                         help="start from the published reference checkpoint "
@@ -174,6 +180,8 @@ def main(args) -> None:
         model_kw["lane_pack"] = True  # builders without the knob raise
     if getattr(args, "stem_s2d", False):
         model_kw["stem_s2d"] = True
+    if getattr(args, "score_thresh", None) is not None:
+        model_kw["score_thresh"] = args.score_thresh
     detector = get_model(args.model, **model_kw)
     size = detector.config.size
 
