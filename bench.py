@@ -74,6 +74,9 @@ BASELINE_FILE = os.path.join(REPO, ".bench_baseline.json")
 _T0 = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 FULL = bool(os.environ.get("BENCH_FULL")) or "--full" in sys.argv[1:]
+# BENCH_ONLY=train_vgg_bf16[,sec...] runs just the named sections — for
+# re-measuring one row after a change without paying the full harness.
+ONLY = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
 
 # (peak FLOP/s, peak HBM bytes/s) by device_kind prefix — public specs.
 # bf16 MXU peak; fp32 programs are reported against the same peak (the
@@ -129,6 +132,9 @@ def section(name: str, est_s: float, fn) -> None:
     "skipped" instead of risking the whole run; a section that raises
     records `<name>_error` and the harness moves on. Either way a fresh
     complete line is emitted."""
+    if ONLY and name not in ONLY:
+        SKIPPED.append(f"{name} (BENCH_ONLY)")
+        return
     if _elapsed() + est_s > BUDGET_S:
         SKIPPED.append(name)
         emit()
@@ -432,9 +438,13 @@ def main() -> None:
             PAYLOAD[f"{label}_ms_per_step"] = round(step_s * 1000.0, 2)
             PAYLOAD[f"{label}_img_s"] = round(tb_batch / step_s, 1)
             if tb_batch == 128:
+                # XLA's cost model counts a scan/while BODY ONCE regardless
+                # of trip count (verified empirically: flops('scan8 of
+                # matmul') == flops('matmul')), so the compiled spc-step
+                # program's (flops, bytes) ~= ONE step's — use directly
+                # against the per-step time, do NOT divide by spc.
                 PAYLOAD.update({f"train_b128_{k}": v for k, v in
-                                _roofline(fl / spc, by / spc,
-                                          step_s).items()})
+                                _roofline(fl, by, step_s).items()})
 
     section("train_ssdlite", 260, s_train)
 
@@ -464,9 +474,10 @@ def main() -> None:
             step_s, (fl, by) = _time_train(vstep, vstate, batch, vspc)
             PAYLOAD[f"{label}_ms_per_step"] = round(step_s * 1000.0, 2)
             PAYLOAD[f"{label}_img_s"] = round(vb / step_s, 1)
+            # scan body counted once by the cost model — no /vspc (see the
+            # train_b128 note above); dividing gave a phantom 8x MFU drop
             PAYLOAD.update({f"{label}_{k}": v for k, v in
-                            _roofline(fl / vspc, by / vspc,
-                                      step_s).items()})
+                            _roofline(fl, by, step_s).items()})
         return run
 
     section("train_vgg_bf16", 180,
