@@ -64,6 +64,22 @@ def test_train_cli_lane_pack_fused_wiring(tmp_path, monkeypatch):
     assert seen.get("lane_pack") is True
 
 
+def test_train_parser_score_thresh_wiring():
+    """--score-thresh overrides the builder's postprocess threshold (a
+    builder kwarg in the reference, generalized_ssd.py:158; the v0
+    families default to demo-grade 0.5, too high for mAP eval)."""
+    from demonet_tpu.models import get_model
+    from demonet_tpu.train import get_args_parser
+
+    args = get_args_parser().parse_args([])
+    assert args.score_thresh is None  # default: builder's own value
+    args = get_args_parser().parse_args(["--score-thresh", "0.01"])
+    assert args.score_thresh == 0.01
+    det = get_model("pelee304", num_classes=5, size=(64, 64),
+                    score_thresh=args.score_thresh)
+    assert det.config.score_thresh == 0.01
+
+
 def test_eval_voc_parser():
     from demonet_tpu.eval_voc import get_args_parser
 
