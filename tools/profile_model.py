@@ -7,6 +7,15 @@ TensorBoard/XProf (SURVEY.md §5 "Rebuild hook: jax.profiler traces").
     python tools/profile_model.py --mode predict --batch-size 64 \
         --logdir /tmp/trace
     tensorboard --logdir /tmp/trace   # -> Profile tab
+
+The shipped serving config (trained weights, real val frames, bf16
+trunk, fused postprocess — the bench.py trained_fused_bf16_b128 row):
+
+    python tools/profile_model.py --mode predict --batch-size 128 \
+        --bf16 --impl fused \
+        --npz-weights bench_assets/ssdlite320_shapes_trained.npz \
+        --frames bench_assets/val_images_320.npz --logdir /tmp/serve
+    python tools/trace_op_stats.py /tmp/serve --iters 5
 """
 
 from __future__ import annotations
@@ -33,14 +42,24 @@ def main(args) -> int:
     if args.lane_pack:
         model_kw["lane_pack"] = True
     det = get_model(args.model, num_classes=args.num_classes, **model_kw)
-    variables = det.init(jax.random.PRNGKey(0))
+    if args.npz_weights:
+        from tools.export_bench_weights import load_bench_variables
+
+        variables = jax.device_put(load_bench_variables(args.npz_weights))
+    else:
+        variables = det.init(jax.random.PRNGKey(0))
     b = args.batch_size
     h, w = det.config.size
-    images = jnp.asarray(np.random.RandomState(0).rand(b, h, w, 3),
-                         jnp.float32)
+    if args.frames:
+        from tools.export_bench_images import load_bench_images
+
+        images = jnp.asarray(load_bench_images(args.frames, b))
+    else:
+        images = jnp.asarray(np.random.RandomState(0).rand(b, h, w, 3),
+                             jnp.float32)
 
     if args.mode == "predict":
-        step = make_predict_step(det)
+        step = make_predict_step(det, impl=args.impl)
         run = lambda: step(variables, images, None)  # noqa: E731
     else:
         tx = make_optimizer(make_lr_schedule(0.02, 100))
@@ -78,4 +97,13 @@ if __name__ == "__main__":
     p.add_argument("--lane-pack", dest="lane_pack", action="store_true")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--logdir", default="/tmp/demonet_trace")
+    p.add_argument("--impl", default="reference",
+                   help="postprocess impl for --mode predict "
+                        "('reference' | 'fused')")
+    p.add_argument("--npz-weights", default="",
+                   help="trained-weights npz (tools/export_bench_weights) "
+                        "instead of random init")
+    p.add_argument("--frames", default="",
+                   help="real-frames npz (tools/export_bench_images) "
+                        "instead of random input")
     sys.exit(main(p.parse_args()))
