@@ -138,11 +138,17 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     kernel (ops/gather_pallas.py, bit-identical, ~2.5x faster on TPU than
     XLA's gather when the gather expands); 'xla' = flat row-gather.
 
-    'auto' picks pallas only when R >= N: the kernel streams the whole
-    table past every index chunk, so for few-rows-from-a-big-table
-    (R << N, e.g. the final top-300 gather) XLA's scalar gather wins
-    (measured 2.9 ms vs 3.7 ms; the expanding candidate gather is the
-    opposite, 5.9 ms XLA vs 2.3 ms pallas — tools/check_gather_tpu.py).
+    'auto' picks pallas when the gather is expanding or near-expanding
+    (2R >= N): the kernel's cost rides the R-wide one-hot matmuls, so
+    for few-rows-from-a-big-table (R << N, e.g. the final top-300
+    gather, R/N ~ 0.1) XLA's scalar gather wins (measured 2.9 ms vs
+    3.7 ms), while at R/N >= ~0.6 pallas wins on both measured points:
+    the expanding candidate gather (5.9 ms XLA vs 2.3 ms pallas,
+    tools/check_gather_tpu.py) and the fused-path tier-2048 candidate
+    gather (R=2048, N=3234: 3.8 ms of the b128 serving step via XLA —
+    2.67 ms SMEM index fusion + 1.14 ms row gather, round-5 trace —
+    vs MXU one-hot work). Either impl returns bit-identical rows, so
+    the crossover is pure performance, not semantics.
     'auto-tpu' / 'auto-cpu' keep the expanding heuristic but pin the
     platform half — for jax.export, where the TARGET platform (not the
     exporting host's backend) must decide kernel availability.
@@ -152,7 +158,7 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
             on_tpu = jax.default_backend() == "tpu"
         else:
             on_tpu = gather_impl == "auto-tpu"
-        expanding = idx.shape[1] >= table.shape[1]
+        expanding = 2 * idx.shape[1] >= table.shape[1]
         gather_impl = "pallas" if (on_tpu and expanding) else "xla"
     if gather_impl == "pallas":
         from demonet_tpu.ops.gather_pallas import gather_rows_batch
@@ -420,10 +426,28 @@ def _postprocess_fused(
         sel_c = jnp.minimum(sel, n_chunks - 1)
         g = jnp.take_along_axis(grouped, sel_c[:, :, None], axis=1)
         g = jnp.where(vslot[:, :, None], g, _NEG_INF)
-        sc, gpos = jax.lax.top_k(g.reshape(b, slots * 128), r)
-        pos = (jnp.take_along_axis(sel_c, gpos // 128, axis=1) * 128
-               + gpos % 128)
-        pos = jnp.minimum(pos, n - 1)                # pad-chunk clamp
+        # top-r with the GLOBAL position carried through the sort, not
+        # recovered afterwards: lax.top_k lowers to a full stable sort
+        # of (value, iota) pairs anyway, and the round-5 serving trace
+        # showed the post-top_k `take_along_axis(sel_c, gpos // 128)`
+        # chunk-id lookup lowering to a 2.7 ms SMEM scalar gather —
+        # ~15% of the whole b128 step. Sorting (-score, pos) pairs
+        # directly costs the same as the sort top_k already does and
+        # deletes that gather. Exactness: pos = sel_c[s]*128 + j is
+        # strictly increasing in slot-space index s*128+j (sel is
+        # sorted ascending), so a STABLE ascending sort of -score
+        # breaks score ties by ascending pos — exactly lax.top_k's
+        # smallest-index tie order in slot space mapped through the
+        # same monotone position map; and -(-x) is a sign-bit flip,
+        # bit-exact.
+        sc_all = g.reshape(b, slots * 128)
+        pos_full = (sel_c[:, :, None] * 128
+                    + jnp.arange(128, dtype=jnp.int32)[None, None, :]
+                    ).reshape(b, slots * 128)
+        neg_s, pos = jax.lax.sort((-sc_all, pos_full), dimension=1,
+                                  num_keys=1, is_stable=True)
+        sc = -neg_s[:, :r]
+        pos = jnp.minimum(pos[:, :r], n - 1)         # pad-chunk clamp
         cls = pos // a                               # 0-based fg class
         anch = pos % a
         boxes = _gather_rows(all_boxes, anch, gather_impl)
@@ -476,7 +500,23 @@ def _postprocess_fused(
                 "labels": out_labels, "valid": valid_out}
 
     # smallest tier whose capacity holds every image; past the last
-    # tier (or over the chunk budget) -> reference fallback
+    # tier (or over the chunk budget) -> reference fallback.
+    #
+    # Dense-regime overhead attribution (tools/diag_fused_dense.py,
+    # ssd300_vgg16 b64 postprocess-only, round 5): the guard reductions
+    # feeding this switch's predicate are FREE (+0.03 ms vs the bare
+    # reference pipeline, i.e. XLA folds them into the pass it already
+    # makes over the scores), the switch dispatch is free, and the
+    # remaining +5.4-5.8 ms (+8%) is the mere PRESENCE of the fused
+    # tier branches: XLA hoists parts of their candidate machinery to
+    # the program top level where the fallback pays for dead work.
+    # Nesting the tier switch inside an outer two-way cond so the
+    # common code would hoist only into the never-taken-when-dense arm
+    # was built and MEASURED NO BETTER (+5.75 ms, identical trace) —
+    # the hoisting survives the nesting — so the flat switch stays.
+    # The price is paid only in the regime `fused` is documented not
+    # to be for (random/dense inputs); e2e it is +1.8% on
+    # ssd300_vgg16 b64, +7% on ssd512_vgg16 (STATUS gap #3).
     idx = sum((max_live > t).astype(jnp.int32) for t in tiers)
     idx = jnp.where(chunk_bad, len(tiers), idx)
     branches = [functools.partial(fused, t) for t in tiers] + [reference]

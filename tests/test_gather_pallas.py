@@ -48,8 +48,11 @@ def test_repeated_and_boundary_indices():
 
 
 def test_auto_impl_heuristic(monkeypatch):
-    """'auto' = pallas only on TPU AND when the gather expands (R >= N);
-    the final top-300 gather from a 27k-row table must stay on XLA."""
+    """'auto' = pallas only on TPU AND when the gather is expanding or
+    near-expanding (2R >= N); the final top-300 gather from a 27k-row
+    table must stay on XLA, while the fused-path tier-2048 candidate
+    gather (R=2048 from N=3234) routes to pallas (round-5 trace: the
+    XLA path cost 3.8 ms of the b128 serving step)."""
     import demonet_tpu.models.detection as det
     import jax
 
@@ -66,9 +69,12 @@ def test_auto_impl_heuristic(monkeypatch):
     table_small = jnp.zeros((2, 100, 4))
     det._gather_rows(table_small, jnp.zeros((2, 500), jnp.int32), "auto")
     assert calls == ["pallas"]                     # expanding -> pallas
+    det._gather_rows(jnp.zeros((2, 3234, 4)),
+                     jnp.zeros((2, 2048), jnp.int32), "auto")
+    assert calls == ["pallas", "pallas"]           # near-expanding -> pallas
     det._gather_rows(jnp.zeros((2, 27000, 4)),
                      jnp.zeros((2, 300), jnp.int32), "auto")
-    assert calls == ["pallas"]                     # contracting -> xla
+    assert calls == ["pallas", "pallas"]           # contracting -> xla
 
 
 def test_postprocess_gather_impl_parity():
